@@ -1,0 +1,224 @@
+# raster.py — batched SDF rasterizer (jnp reference implementation).
+"""Renders ElementState frames to images in one XLA program.
+
+This replaces the reference's per-shape OpenCV mutation loop
+(``Shape.draw``, reference src/shapes.py:209-656;
+``_render_elements_to_canvas``, reference src/generator.py:66-124) with a
+functional design:
+
+- every kind's outline is a padded polygon from ``geometry.VERTS_UNIT``;
+  circle and crescent are analytic signed-distance fields;
+- fills are hard-thresholded at pixel centers (cv2.fillPoly does unaliased
+  scan conversion), outlines are 1px-ramp anti-aliased bands (cv2 LINE_AA);
+- painter's-order compositing over the element axis matches the reference's
+  sequential draw order;
+- toroidal wrap-around is a coordinate ``mod`` to the nearest periodic copy
+  instead of the reference's 3x3 redraw loop (reference src/shapes.py:369-375)
+  — equivalent whenever a shape is smaller than the canvas, which the
+  prototype sampler guarantees;
+- grid snap + grid lines mirror reference src/generator.py:96-122.
+
+All functions are jit/vmap-friendly: static shapes, no data-dependent Python
+control flow.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.state import ElementState
+from . import geometry as G
+
+_EPS = 1e-9
+
+
+def _rotate_flip(v: jnp.ndarray, angle_deg: jnp.ndarray,
+                 flip_h: jnp.ndarray, flip_v: jnp.ndarray) -> jnp.ndarray:
+    """Rotate unit verts clockwise-positive then flip, exactly as the
+    reference's `_rotate_points` + `_apply_flip` (src/shapes.py:238-258)."""
+    a = jnp.deg2rad(-angle_deg)
+    ca, sa = jnp.cos(a), jnp.sin(a)
+    x, y = v[..., 0], v[..., 1]
+    xr = x * ca - y * sa
+    yr = x * sa + y * ca
+    xr = jnp.where(flip_h, -xr, xr)
+    yr = jnp.where(flip_v, -yr, yr)
+    return jnp.stack([xr, yr], axis=-1)
+
+
+def element_verts(kind, size, angle, flip_h, flip_v, cx, cy):
+    """Absolute, integer-rounded polygon vertices for one element.
+
+    Returns (verts [NPART, MAX_VERTS, 2] f32, nv [NPART] i32).
+    Rounding matches the reference's pts_to_arr_abs (src/shapes.py:278-280).
+    """
+    unit = jnp.asarray(G.VERTS_UNIT)[kind]          # [NPART, V, 2]
+    nv = jnp.asarray(G.NV)[kind]                    # [NPART]
+    half = size * 0.5
+    v = _rotate_flip(unit, angle, flip_h, flip_v) * half
+    v = v + jnp.stack([cx, cy])
+    return jnp.round(v), nv
+
+
+def _polygon_field(px, py, verts):
+    """Unsigned distance + even-odd inside test for a padded polygon.
+
+    px, py: [H, W] pixel coords; verts: [V, 2].
+    Returns (dist [H, W], inside [H, W] bool).
+    """
+    ax, ay = verts[:, 0], verts[:, 1]
+    bx, by = jnp.roll(ax, -1), jnp.roll(ay, -1)
+    ex, ey = bx - ax, by - ay
+    inv_len2 = 1.0 / (ex * ex + ey * ey + _EPS)
+
+    pxe = px[..., None] - ax          # [H, W, V]
+    pye = py[..., None] - ay
+    t = jnp.clip((pxe * ex + pye * ey) * inv_len2, 0.0, 1.0)
+    dx = pxe - t * ex
+    dy = pye - t * ey
+    dist = jnp.sqrt(jnp.min(dx * dx + dy * dy, axis=-1))
+
+    cond = (ay > py[..., None]) != (by > py[..., None])
+    safe_ey = jnp.where(ey == 0, 1.0, ey)
+    xint = ax + (py[..., None] - ay) * ex / safe_ey
+    crossings = jnp.sum((cond & (px[..., None] < xint)).astype(jnp.int32), axis=-1)
+    inside = (crossings % 2) == 1
+    return dist, inside
+
+
+def _stroke_alpha(dist, width):
+    """AA band centered on the zero level set, calibrated to cv2 LINE_AA.
+
+    Measured cross-sections of cv2.line/polylines/circle with LINE_AA show
+    full coverage out to |d| ≈ t-1 and a ~1.3px linear fringe reaching
+    |d| ≈ t+0.3 (i.e. cv2's AA thickness behaves like a radius); the fitted
+    model is alpha = clip((t + 0.28 - d) / 1.28, 0, 1).
+    """
+    return jnp.clip((width + 0.28 - dist) * (1.0 / 1.28), 0.0, 1.0)
+
+
+def _over(canvas, color, alpha):
+    """alpha-composite a flat color over the canvas. alpha [H,W], color [3]."""
+    a = alpha[..., None]
+    return canvas * (1.0 - a) + color * a
+
+
+def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
+                      cx, cy, angle, flip_h, flip_v, color, valid):
+    """Draw one element onto the canvas (f32 [H, W, 3], 0-255)."""
+    outline = jnp.zeros(3, jnp.float32)  # black outline (reference generator.py:106)
+    half = size * 0.5
+    stroke_w = jnp.maximum(1.0, jnp.round(stroke))
+
+    # toroidal wrap: evaluate at the nearest periodic copy
+    pxw = cx + jnp.mod(px - cx + W * 0.5, float(W)) - W * 0.5
+    pyw = cy + jnp.mod(py - cy + H * 0.5, float(H)) - H * 0.5
+
+    # ---- generic polygon path (9 of 11 kinds) ----
+    verts, nv = element_verts(kind, size, angle, flip_h, flip_v, cx, cy)
+    d0, in0 = _polygon_field(pxw, pyw, verts[0])
+    d1, in1 = _polygon_field(pxw, pyw, verts[1])
+    has_p1 = nv[1] > 0
+
+    # ---- analytic circle ----
+    r_circ = jnp.maximum(1.0, jnp.round(half))
+    d_circ = jnp.hypot(pxw - cx, pyw - cy) - r_circ
+
+    # ---- analytic crescent ----
+    r_out = jnp.maximum(1.0, jnp.round(half))
+    r_in = jnp.round(r_out * G.CRESCENT_INNER_R)
+    off = jnp.round(r_out * G.CRESCENT_OFFSET)
+    a = jnp.deg2rad(-angle)
+    icx = cx + jnp.round(off * jnp.cos(a))
+    icy = cy + jnp.round(off * jnp.sin(a))
+    d_cout = jnp.hypot(pxw - cx, pyw - cy) - r_out
+    d_cin = jnp.hypot(pxw - icx, pyw - icy) - r_in
+
+    is_circle = kind == G.CIRCLE
+    is_crescent = kind == G.CRESCENT
+
+    # fill coverage (hard edges, like cv2.fillPoly / mask composites)
+    fill0 = jnp.where(is_circle, d_circ < 0,
+                      jnp.where(is_crescent, (d_cout < 0) & (d_cin >= 0), in0))
+    fill1 = in1 & has_p1
+
+    # stroke coverage (AA bands, like cv2 LINE_AA outlines)
+    s0 = jnp.where(is_circle, _stroke_alpha(jnp.abs(d_circ), stroke_w),
+                   jnp.where(is_crescent,
+                             jnp.maximum(_stroke_alpha(jnp.abs(d_cout), stroke_w),
+                                         _stroke_alpha(jnp.abs(d_cin), stroke_w)),
+                             _stroke_alpha(d0, stroke_w)))
+    s1 = _stroke_alpha(d1, stroke_w) * has_p1
+
+    valid_f = valid.astype(jnp.float32)
+    fill_f = fill.astype(jnp.float32) * valid_f
+
+    # painter's order inside the element: part0 fill, part0 stroke,
+    # part1 fill, part1 stroke (matches the reference's plus draw order,
+    # src/shapes.py:477-509)
+    canvas = _over(canvas, color, fill0.astype(jnp.float32) * fill_f)
+    canvas = _over(canvas, outline, s0 * valid_f)
+    canvas = _over(canvas, color, fill1.astype(jnp.float32) * fill_f)
+    canvas = _over(canvas, outline, s1 * valid_f)
+    return canvas
+
+
+def render_frame(state: ElementState, W: int, H: int,
+                 bg_color=(255.0, 255.0, 255.0),
+                 use_grid=False, grid_size: int = 3,
+                 honor_flip: bool = False) -> jnp.ndarray:
+    """Render one frame (unbatched ElementState) to u8 [H, W, 3] RGB.
+
+    `use_grid` may be a traced boolean; grid snap + 1px grid lines follow
+    reference src/generator.py:96-122.
+
+    `honor_flip=False` replicates a reference quirk: its renderer reads
+    ``el.get('flip_mode')`` which the pipeline never sets (elements carry
+    ``el['flip']``), so mirror state is metadata-only and never rendered
+    (reference src/generator.py:94).  Pass True to actually mirror the
+    geometry (the Shape.draw ``flip_mode`` capability,
+    reference src/shapes.py:247-258).
+    """
+    px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+    py = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+    canvas = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (H, W, 3))
+
+    use_grid = jnp.asarray(use_grid)
+    cell_w = W / grid_size
+    cell_h = H / grid_size
+    col = jnp.clip(jnp.floor(state.cx / cell_w), 0, grid_size - 1)
+    row = jnp.clip(jnp.floor(state.cy / cell_h), 0, grid_size - 1)
+    cx = jnp.where(use_grid, jnp.trunc((col + 0.5) * cell_w), state.cx)
+    cy = jnp.where(use_grid, jnp.trunc((row + 0.5) * cell_h), state.cy)
+    # the reference casts angle to int at render time (src/generator.py:93)
+    angle = jnp.trunc(state.angle)
+
+    fh = state.flip_h if honor_flip else jnp.zeros_like(state.flip_h)
+    fv = state.flip_v if honor_flip else jnp.zeros_like(state.flip_v)
+
+    E = state.num_slots
+    for e in range(E):  # static unroll: painter's order over slots
+        canvas = composite_element(
+            canvas, px, py, W, H,
+            state.kind[e], state.size[e], state.fill[e], state.stroke[e],
+            cx[e], cy[e], angle[e], fh[e], fv[e],
+            state.color[e], state.valid[e])
+
+    # grid lines (1px black), reference src/generator.py:111-122
+    xs = jnp.round(jnp.arange(1, grid_size) * W / grid_size)
+    ys = jnp.round(jnp.arange(1, grid_size) * H / grid_size)
+    on_line = (jnp.any(px[..., None] == xs, axis=-1) |
+               jnp.any(py[..., None] == ys, axis=-1))
+    line_alpha = (on_line & use_grid).astype(jnp.float32)
+    canvas = _over(canvas, jnp.zeros(3, jnp.float32), line_alpha)
+
+    return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 4))
+def render_batch(states: ElementState, W: int, H: int, use_grid, grid_size: int = 3):
+    """vmapped render: states with leading batch dim -> u8 [B, H, W, 3]."""
+    return jax.vmap(lambda s, g: render_frame(s, W, H, use_grid=g,
+                                              grid_size=grid_size))(states, use_grid)

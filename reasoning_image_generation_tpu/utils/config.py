@@ -1,0 +1,114 @@
+# config.py — generation configs, schema-compatible with the reference.
+"""Generation configuration.
+
+``GenConfig`` keeps the exact field names / defaults of the reference
+dataclass (reference src/config.py:23-52) so downstream tooling and emitted
+JSON stay compatible, and adds the TPU-batching knobs the reference does not
+have (batch_size, device options).
+
+``DEFAULT_CATEGORIES`` mirrors the two-level rule taxonomy of
+reference src/config.py:6-21 verbatim (it is part of the public schema: the
+sampled ``category_path`` is exported in meta.json).
+"""
+from __future__ import annotations
+
+import copy
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+DEFAULT_CATEGORIES: Dict[str, Any] = {
+    "图形相似": {
+        "位置变换": ["平移", "旋转", "翻转(镜像)", "组合"],
+        "叠加": ["直接叠加", "去同存异", "去异存同"],
+    },
+    "图形相异": {
+        "图形遍历": ["单一遍历", "位置遍历"],
+    },
+}
+
+# Leaves whose sequences run 6 frames instead of 4 (reference src/generator.py:262).
+OVERLAY_LEAVES = ("直接叠加", "去同存异", "去异存同")
+
+# All rule leaves in taxonomy order; index = on-device rule id.
+RULE_LEAVES = (
+    "平移",          # 0 translate
+    "旋转",          # 1 rotate
+    "翻转(镜像)",    # 2 flip
+    "组合",          # 3 transform_many
+    "直接叠加",      # 4 direct overlay
+    "去同存异",      # 5 diff keep-different
+    "去异存同",      # 6 diff keep-intersection
+    "单一遍历",      # 7 kind traversal
+    "位置遍历",      # 8 position traversal
+)
+RULE_ID = {name: i for i, name in enumerate(RULE_LEAVES)}
+
+# The 11 shape kinds in the reference's sampling order
+# (reference src/sample.py:151); index = on-device kind id.
+SHAPE_KINDS = (
+    "square", "circle", "triangle", "diamond", "star",
+    "pentagon", "hexagon", "plus", "heart", "crescent", "rounded_square",
+)
+KIND_ID = {name: i for i, name in enumerate(SHAPE_KINDS)}
+
+
+@dataclass
+class GenConfig:
+    """Schema-compatible generation config (reference src/config.py:23-52)."""
+
+    out_dir: str = "./out"
+    canvas_size: Tuple[int, int] = (512, 512)  # (W, H)
+    grid_size: int = 3
+
+    # appearance
+    bg_color: Tuple[int, int, int] = (255, 255, 255)
+
+    # randomness / reproducibility
+    seed: Optional[int] = None
+
+    # categories & sampling
+    categories: Dict[str, Any] = field(
+        default_factory=lambda: copy.deepcopy(DEFAULT_CATEGORIES))
+    category_weights: Dict[str, float] = field(default_factory=dict)
+
+    # export options
+    export_coco: bool = True
+    export_json: bool = True
+
+    # sequence reasoning options
+    seq_min: int = 2
+    seq_max: int = 4
+    num_options: int = 4
+    shuffle_options: bool = True
+
+    # ---- TPU build extensions (not in reference schema) ----
+    # samples rendered per XLA program invocation
+    batch_size: int = 64
+    # max element slots in the struct-of-arrays state (reference worst case
+    # is ~6 after an overlay merge of two 3-element frames)
+    max_elems: int = 8
+    # distractor retry budget, mirrors getattr(cfg,'max_distractor_retries',20)
+    # (reference src/generator.py:428)
+    max_distractor_retries: int = 20
+    # per-sample wall clock guard is meaningless in a batched XLA program;
+    # kept for schema compatibility with getattr probes.
+    max_generation_time: int = 30
+
+
+def category_leaves(categories: Dict[str, Any]) -> list:
+    """Flatten the two-level taxonomy into leaf paths.
+
+    Mirrors the recursive traversal of reference src/generator.py:634-650.
+    """
+    leaves = []
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+        elif isinstance(node, list):
+            for item in node:
+                leaves.append(path + [item])
+
+    walk(categories, [])
+    return leaves

@@ -1,0 +1,22 @@
+# conftest.py — hermetic CPU test environment with a virtual 8-device mesh.
+import os
+
+# Must be set before jax import: tests run on a virtual 8-device CPU mesh so
+# multi-chip sharding paths execute without TPU hardware.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+REFERENCE_SRC = Path("/root/reference/src")
+REFERENCE_MG = Path("/root/reference/multigraph_generation")
+
+
+def has_reference() -> bool:
+    return REFERENCE_SRC.exists()
