@@ -1,0 +1,77 @@
+# png.py — PNG encoding with a native fast path.
+"""PNG writers, fastest available first:
+
+1. ``fastpng`` — our C extension (io/native/fastpng.c): PNG filter + zlib in
+   C with the GIL released, so the threaded writer pool gets real overlap.
+2. OpenCV ``imwrite`` (libpng) — what the reference uses
+   (reference src/utils.py:17-21).
+3. Pure zlib fallback (filter 0), always available.
+
+All paths produce valid RGB8 PNGs; bytes are not guaranteed identical across
+backends (PNG is lossless, pixel content is identical).
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_BACKEND = None
+
+
+def _try_fastpng():
+    try:
+        from .native import fastpng  # built on demand by io/native/build.py
+        return fastpng
+    except Exception:
+        return None
+
+
+def _try_cv2():
+    try:
+        import cv2
+        return cv2
+    except Exception:
+        return None
+
+
+def encode_png_zlib(img: np.ndarray, level: int = 3) -> bytes:
+    """Minimal RGB8 PNG encoder (filter 0 rows + one IDAT)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    H, W = img.shape[:2]
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, axis=2)
+    raw = np.empty((H, 1 + W * 3), np.uint8)
+    raw[:, 0] = 0
+    raw[:, 1:] = img.reshape(H, W * 3)
+    comp = zlib.compress(raw.tobytes(), level)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data +
+                struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write an RGB u8 image to path as PNG via the fastest backend."""
+    global _BACKEND
+    if _BACKEND is None:
+        fp = _try_fastpng()
+        if fp is not None:
+            _BACKEND = ("fastpng", fp)
+        else:
+            cv = _try_cv2()
+            _BACKEND = ("cv2", cv) if cv is not None else ("zlib", None)
+    name, mod = _BACKEND
+    img = np.ascontiguousarray(img, np.uint8)
+    if name == "fastpng":
+        mod.write_png(path, img)
+    elif name == "cv2":
+        mod.imwrite(path, img[..., ::-1])  # cv2 wants BGR
+    else:
+        with open(path, "wb") as f:
+            f.write(encode_png_zlib(img))

@@ -1,0 +1,55 @@
+# writer.py — threaded host-side export pool.
+"""Asynchronous file export.
+
+The device produces whole batches; the host boundary (PNG encode + JSON
+dump) runs on a thread pool so export overlaps the next batch's TPU compute.
+This supersedes the reference's per-sample synchronous cv2.imwrite calls
+inside the worker processes (reference src/utils.py:17, src/generator.py:341).
+"""
+from __future__ import annotations
+
+import json
+import os
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from .png import write_png
+
+
+def ensure_dir(p: str) -> None:
+    os.makedirs(p, exist_ok=True)
+
+
+class ExportPool:
+    def __init__(self, workers: int = 8, use_threads: bool = True):
+        # use_threads=False degrades to synchronous writes (debug aid,
+        # mirrors the reference's --use_threads/--workers toggles)
+        self._pool = ThreadPoolExecutor(max_workers=workers) if use_threads else None
+        self._futures = []
+
+    def submit_png(self, path: str, img: np.ndarray):
+        img = np.asarray(img)
+        if self._pool is None:
+            write_png(path, img)
+        else:
+            self._futures.append(self._pool.submit(write_png, path, img))
+
+    def submit_json(self, path: str, obj):
+        def _write():
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(obj, f, ensure_ascii=False, indent=2)
+        if self._pool is None:
+            _write()
+        else:
+            self._futures.append(self._pool.submit(_write))
+
+    def drain(self):
+        for f in self._futures:
+            f.result()
+        self._futures.clear()
+
+    def close(self):
+        self.drain()
+        if self._pool is not None:
+            self._pool.shutdown()

@@ -1,0 +1,155 @@
+# generator.py — host orchestration: leaf grouping, batching, export.
+"""Batch generator for the RPM sequence-puzzle pipeline.
+
+Replaces the reference's per-sample RPMGenerator + process-pool driver
+(reference src/generator.py:33, src/cli.py:54-133) with:
+
+1. host-side per-sample leaf + use_grid sampling (python Random seeded
+   `seed + sample_id`, matching the reference's per-sample seeding scheme,
+   reference src/cli.py:20-21, src/generator.py:257,270);
+2. grouping of sample ids by rule leaf (each leaf is a statically-compiled
+   XLA program, see pipeline.py);
+3. device-batched generation; the only host work per sample is PNG/JSON
+   export on a thread pool.
+
+Output directory layout is identical to the reference:
+  out/samples/sample_%06d/{state_i.png, option_j.png, proto_true_next.png,
+                           query.png, meta.json, coco.json}
+  out/grids/grid_%06d.png
+  out/index.json
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+import time
+from collections import defaultdict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...utils.config import GenConfig, category_leaves
+from ...io.writer import ExportPool, ensure_dir
+from .pipeline import LeafPipeline, sample_keys, seq_len_for
+from .metadata import build_sample_meta, build_coco
+
+logger = logging.getLogger(__name__)
+
+
+class RPMGeneratorTPU:
+    def __init__(self, config: GenConfig, show_labels: bool = True,
+                 show_border: bool = True, io_workers: int = 8,
+                 use_threads: bool = True):
+        self.cfg = config
+        self.out_dir = config.out_dir
+        self.samples_dir = os.path.join(self.out_dir, "samples")
+        self.grids_dir = os.path.join(self.out_dir, "grids")
+        ensure_dir(self.samples_dir)
+        ensure_dir(self.grids_dir)
+        self.show_labels = show_labels
+        self.show_border = show_border
+        self._pipelines: Dict[str, LeafPipeline] = {}
+        self._pool = ExportPool(workers=io_workers, use_threads=use_threads)
+        self._leaves = category_leaves(config.categories)
+
+    # ---- host-side per-sample choices (weighted leaf + use_grid coin) ----
+    def _sample_assignments(self, sample_ids) -> Dict[str, List]:
+        weights = [self.cfg.category_weights.get(l[-1], 1.0) for l in self._leaves]
+        groups: Dict[str, List] = defaultdict(list)
+        for sid in sample_ids:
+            rng = random.Random((self.cfg.seed or 0) + sid)
+            path = rng.choices(self._leaves, weights=weights, k=1)[0]
+            use_grid = rng.choice([False, True])
+            groups[path[-1]].append((sid, path, use_grid))
+        return groups
+
+    def _pipeline(self, leaf: str) -> LeafPipeline:
+        if leaf not in self._pipelines:
+            self._pipelines[leaf] = LeafPipeline(
+                leaf, self.cfg, show_labels=self.show_labels,
+                show_border=self.show_border)
+        return self._pipelines[leaf]
+
+    def generate(self, n: int, progress: bool = False) -> List[dict]:
+        return self.generate_ids(list(range(n)), progress=progress)
+
+    def generate_ids(self, sample_ids: List[int], progress: bool = False) -> List[dict]:
+        metas: Dict[int, dict] = {}
+        groups = self._sample_assignments(sample_ids)
+        t0 = time.time()
+        done = 0
+        for leaf, entries in groups.items():
+            pipe = self._pipeline(leaf)
+            B = self.cfg.batch_size
+            for start in range(0, len(entries), B):
+                chunk = entries[start:start + B]
+                ids = [e[0] for e in chunk]
+                use_grid = np.asarray([e[2] for e in chunk])
+                keys = sample_keys(self.cfg.seed or 0, np.asarray(ids))
+                out = pipe(keys, use_grid)
+                out = {k: (np.asarray(v) if not isinstance(v, (dict, tuple)) else v)
+                       for k, v in out.items()}
+                self._export_batch(leaf, pipe, chunk, out, metas)
+                done += len(chunk)
+                if progress:
+                    dt = time.time() - t0
+                    logger.info("generated %d samples (%.2f samples/s)",
+                                done, done / max(dt, 1e-9))
+        self._pool.drain()
+        return [metas[i] for i in sorted(metas)]
+
+    def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
+        import jax
+        L = pipe.L
+        O = self.cfg.num_options
+        layout = pipe.layout
+        states_np = jax.tree.map(np.asarray, out["states"])
+        options_np = jax.tree.map(np.asarray, out["options"])
+        params_np = jax.tree.map(np.asarray, out["params"])
+        state_imgs = np.asarray(out["state_imgs"])
+        option_imgs = np.asarray(out["option_imgs"])
+        grid_imgs = np.asarray(out["grid_img"])
+        perms = np.asarray(out["perm"])
+        correct = np.asarray(out["correct_index"])
+
+        for b, (sid, path, use_grid) in enumerate(chunk):
+            sample_dir = os.path.join(self.samples_dir, f"sample_{sid:06d}")
+            ensure_dir(sample_dir)
+            grid_path = os.path.join(self.grids_dir, f"grid_{sid:06d}.png")
+
+            for t in range(L):
+                self._pool.submit_png(
+                    os.path.join(sample_dir, f"state_{t}.png"), state_imgs[b, t])
+            # distractor files keep their pre-shuffle index j (reference
+            # writes option_j.png at generation time, src/generator.py:500)
+            perm = perms[b]
+            for pos in range(O):
+                src = int(perm[pos])
+                name = ("proto_true_next.png" if src == 0 else
+                        f"option_{src}.png")
+                self._pool.submit_png(os.path.join(sample_dir, name),
+                                      option_imgs[b, pos])
+            self._pool.submit_png(os.path.join(sample_dir, "query.png"),
+                                  layout.query_patch)
+            self._pool.submit_png(grid_path, grid_imgs[b])
+
+            sample_states = jax.tree.map(lambda a: a[b], states_np)
+            sample_options = jax.tree.map(lambda a: a[b], options_np)
+            sample_params = jax.tree.map(lambda a: a[b], params_np)
+            meta = build_sample_meta(
+                sid, leaf, path, self.out_dir, sample_dir, grid_path,
+                sample_states, sample_options, perm, int(correct[b]),
+                sample_params, bool(use_grid), self.cfg.grid_size,
+                self.cfg.canvas_size, layout, self.cfg.seed,
+                (self.cfg.seed or 0) + sid)
+            if self.cfg.export_json:
+                self._pool.submit_json(os.path.join(sample_dir, "meta.json"), meta)
+            if self.cfg.export_coco:
+                coco = build_coco(sid, leaf, grid_path, self.out_dir,
+                                  layout.grid_h, meta["cells_meta"])
+                self._pool.submit_json(os.path.join(sample_dir, "coco.json"), coco)
+            metas[sid] = meta
+
+    def close(self):
+        self._pool.close()

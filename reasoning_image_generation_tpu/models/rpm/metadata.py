@@ -1,0 +1,216 @@
+# metadata.py — meta.json / coco.json / index.json builders.
+"""Schema-compatible metadata export.
+
+Reproduces the structures written by the reference's `_generate_metadata`
+(reference src/generator.py:552-632) and `compose_grid`'s cells_meta
+(reference src/layout.py:138-191): same keys, same nesting, same file names.
+rule_info dictionaries are rebuilt host-side from the pipeline's rule-param
+arrays with the reference handlers' key vocabulary.
+"""
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+from typing import Dict, List
+
+import numpy as np
+
+from ...utils.config import SHAPE_KINDS
+from ...utils.state import ElementState, state_to_dicts
+from .rules import (TranslateParams, RotateParams, FlipParams,
+                    TransformManyParams, TraverseSeqParams, TraversePosParams,
+                    ANGLE_TAB, ANGLE_CNT)
+
+HANDLER_NAMES = {
+    "平移": "rule_translate",
+    "旋转": "rule_rotate",
+    "翻转(镜像)": "rule_flip",
+    "组合": "rule_transform_many",
+    "直接叠加": "rule_direct_overlay",
+    "去同存异": "rule_diff_keep_same",
+    "去异存同": "rule_diff_keep_intersection",
+    "单一遍历": "rule_traverse_sequence",
+    "位置遍历": "rule_traverse_positions",
+}
+
+_FLIP_MODES = ["horizontal", "vertical", "both"]
+_TM_OPS = ["translate", "rotate", "flip"]
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+def serialize_rule_info(leaf: str, params, step_idx: int, use_grid: bool,
+                        grid_size: int, states: ElementState) -> Dict:
+    """Per-step rule_info dict in the reference handlers' vocabulary."""
+    if leaf in ("平移", "多遍历"):
+        p: TranslateParams = params
+        return {
+            "idx": int(_np(p.idx)), "is_horizontal": bool(_np(p.is_horizontal)),
+            "dist": int(_np(p.dist)), "use_grid": bool(use_grid),
+            "grid_size": int(grid_size) if use_grid else None,
+        }
+    if leaf == "旋转":
+        p: RotateParams = params
+        idx = int(_np(p.idx))
+        kind = int(_np(states.kind)[step_idx, idx])
+        cnt = int(_np(ANGLE_CNT)[kind])
+        allowed = [int(a) for a in _np(ANGLE_TAB)[kind][:cnt]]
+        return {
+            "idx": idx, "requested_angle": float(_np(p.delta)),
+            "applied_angle": float(_np(states.angle)[step_idx, idx]) % 360.0,
+            "allowed_set": allowed,
+        }
+    if leaf == "翻转(镜像)":
+        p: FlipParams = params
+        return {"idx": int(_np(p.idx)),
+                "flip_mode": _FLIP_MODES[int(_np(p.mode))]}
+    if leaf == "组合":
+        p: TransformManyParams = params
+        active = _np(p.active)
+        op = _np(p.op)
+        elem_op_map = {}
+        for e in range(len(active)):
+            if not active[e]:
+                continue
+            o = _TM_OPS[int(op[e])]
+            if o == "translate":
+                if use_grid:
+                    param = {"dist": int(_np(p.grid_dist)),
+                             "dir": "horizontal" if bool(_np(p.grid_is_h)) else "vertical",
+                             "mode": "relative", "use_grid": True,
+                             "grid_size": int(grid_size)}
+                else:
+                    param = {"dx": float(_np(p.dx)), "dy": float(_np(p.dy)),
+                             "mode": "relative", "use_grid": False}
+            elif o == "rotate":
+                param = {"angle": float(_np(p.rot_delta))}
+            else:
+                param = {"mode": _FLIP_MODES[int(_np(p.flip_mode))]}
+            elem_op_map[str(e)] = {"op_type": o, "op_param": param}
+        return {"transform_many": {
+            "target_indices": [int(e) for e in np.nonzero(active)[0]],
+            "elem_op_map": elem_op_map,
+            "valid_ops": [v["op_type"] for v in elem_op_map.values()],
+        }}
+    if leaf in ("直接叠加", "去同存异", "去异存同"):
+        is_merge = (step_idx % 3) == 2
+        if leaf == "直接叠加":
+            op = "merge_last_two" if is_merge else "added_element_from_proto"
+        elif leaf == "去同存异":
+            op = "diff_keep" if is_merge else "replace_some_in_last_frame"
+        else:
+            op = "diff_keep_intersection" if is_merge else "replace_some_in_last_frame"
+        return {"op": op, "seed": None, "frame_count": int(step_idx)}
+    if leaf == "单一遍历":
+        p: TraverseSeqParams = params
+        n = int(_np(p.seq_len))
+        seq = [SHAPE_KINDS[int(k)] for k in _np(p.seq)[:n]]
+        return {"sequence": seq, "step_idx": int(step_idx) % n, "done": False}
+    if leaf == "位置遍历":
+        p: TraversePosParams = params
+        n = int(_np(p.pos_len))
+        pos = [[float(a), float(b)] for a, b in _np(p.pos)[:n]]
+        return {"positions_sequence": pos, "step_idx": int(step_idx),
+                "done": False}
+    return {"handler": HANDLER_NAMES.get(leaf, leaf)}
+
+
+def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
+                      out_dir: str, sample_dir: str, grid_path: str,
+                      states: ElementState, options: ElementState,
+                      perm: np.ndarray, correct_index: int,
+                      params, use_grid: bool, grid_size: int,
+                      canvas_size, layout, cfg_seed, sample_seed) -> Dict:
+    """Full meta.json dict for one sample (reference src/generator.py:574-590)."""
+    L = _np(states.valid).shape[0]
+    O = _np(options.valid).shape[0]
+    now = datetime.now(timezone.utc).isoformat()
+
+    def frame(tree, t):
+        import jax
+        return jax.tree.map(lambda a: a[t], tree)
+
+    sequence_meta = []
+    for t in range(L):
+        rule_info = None if t == 0 else serialize_rule_info(
+            leaf, params, t, use_grid, grid_size, states)
+        sequence_meta.append({
+            "state_path": os.path.join(sample_dir, f"state_{t}.png"),
+            "elements": state_to_dicts(frame(states, t)),
+            "canvas_size": list(canvas_size),
+            "rule_info": rule_info,
+            "timestamp": now,
+        })
+
+    options_meta = []
+    for pos in range(O):
+        src = int(perm[pos])
+        path = (os.path.join(sample_dir, "proto_true_next.png") if src == 0
+                else os.path.join(sample_dir, f"option_{src}.png"))
+        options_meta.append({
+            "option_path": path,
+            "is_correct": src == 0,
+            "elements": state_to_dicts(frame(options, pos)),
+            "rule_info": (sequence_meta[-1]["rule_info"] if src == 0 else
+                          {"distractor": True,
+                           "handler": HANDLER_NAMES.get(leaf, leaf)}),
+        })
+
+    # cells_meta: static layout geometry + per-sample paths
+    cells_meta = []
+    for cell in layout.cells_meta:
+        c = dict(cell)
+        if c["r"] == 0:
+            i = c["c"]
+            if c.get("is_query"):
+                c.update({"proto_path": None, "state_path": None,
+                          "query_path": os.path.join(sample_dir, "query.png")})
+            else:
+                c.update({"proto_path": None,
+                          "state_path": sequence_meta[i]["state_path"],
+                          "is_query": False, "query_path": None})
+        else:
+            i = c["c"]
+            c.update({"path": options_meta[i]["option_path"],
+                      "is_correct": options_meta[i]["is_correct"]})
+        cells_meta.append(c)
+
+    return {
+        "id": int(sample_id),
+        "category_path": list(category_path),
+        "sample_dir": sample_dir,
+        "grid_path": grid_path,
+        "sequence": sequence_meta,
+        "options": options_meta,
+        "correct_index": int(correct_index),
+        "rule": leaf,
+        "cells_meta": cells_meta,
+        "seed_info": {"cfg_seed": cfg_seed, "sample_seed": sample_seed},
+        "generation_time": now,
+    }
+
+
+def build_coco(sample_id: int, leaf: str, grid_path: str, out_dir: str,
+               grid_h: int, cells_meta: List[Dict]) -> Dict:
+    """coco.json (reference src/generator.py:600-620 — note the reference
+    stores grid_h for BOTH width and height; replicated)."""
+    coco = {
+        "images": [{
+            "id": int(sample_id),
+            "file_name": os.path.relpath(grid_path, out_dir),
+            "width": int(grid_h),
+            "height": int(grid_h),
+        }],
+        "annotations": [],
+        "categories": [{"id": 1, "name": leaf}],
+    }
+    ann_id = 1
+    for cell in cells_meta:
+        coco["annotations"].append({
+            "id": ann_id, "image_id": int(sample_id), "category_id": 1,
+            "bbox": cell["bbox"], "label": cell.get("label", ""),
+        })
+        ann_id += 1
+    return coco

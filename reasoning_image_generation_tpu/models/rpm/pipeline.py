@@ -1,0 +1,246 @@
+# pipeline.py — per-leaf batched sample generation (one XLA program each).
+"""End-to-end on-device generation of RPM samples.
+
+Where the reference generates one sample at a time behind a process pool +
+watchdog thread (reference src/generator.py:210-314, src/cli.py:85-129), this
+pipeline generates a whole batch per rule leaf in a single jitted program:
+
+  sample_prototype  ->  lax.scan over rule steps  ->  vectorized distractor
+  candidates + structural-hash dedup  ->  option shuffle  ->  SDF render of
+  every frame  ->  grid composition
+
+The rule leaf is a *static* specialization (host groups sample ids by leaf),
+so no lax.switch executes unused branches and sequence length L (6 for the
+overlay triplet, 4 otherwise — reference src/generator.py:262) is static.
+
+Distractor retry loops (reference src/generator.py:444-481, <=20 retries)
+become K parallel candidates + first-accept selection against the running
+set of structural hashes (the reference's frozenset dedup,
+src/generator.py:149-177, becomes an order-independent element-hash sum).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...utils.config import GenConfig, OVERLAY_LEAVES, KIND_ID
+from ...utils.state import ElementState
+from ...ops.raster import render_frame
+from ...ops.compose import GridLayout, build_layout, compose_grid
+from .sampler import sample_prototype
+from .rules import RULES, pack_state, concat_states
+
+CIRCLE = KIND_ID["circle"]
+N_CANDIDATES = 6  # parallel distractor candidates per option slot
+
+
+def seq_len_for(leaf: str) -> int:
+    return 6 if leaf in OVERLAY_LEAVES else 4
+
+
+def proto_n_for(leaf: str):
+    """Initial element count per rule (reference src/generator.py:327-335)."""
+    if leaf in ("单一遍历", "位置遍历"):
+        return 2
+    if leaf in ("平移", "旋转", "翻转(镜像)"):
+        return 1
+    return None  # randint(1, 3)
+
+
+def _constrain_prototype(leaf: str, key, st: ElementState, W, H, grid_size=3):
+    """Leaf-specific validity constraints.
+
+    The reference *hangs* (and dies by watchdog timeout) when 旋转 draws a
+    circle (src/rules.py:223-229) or 翻转(镜像) draws the center cell
+    (src/rules.py:360-364); we make those samples valid instead.
+    """
+    if leaf == "旋转":
+        # resample circle kinds into the other 10 kinds
+        k = jax.random.randint(key, st.kind.shape, 0, 10)
+        k = jnp.where(k >= CIRCLE, k + 1, k)
+        new_kind = jnp.where(st.kind == CIRCLE, k, st.kind)
+        # circles had angle forced 0; that is a valid angle for all kinds
+        return st._replace(kind=new_kind)
+    if leaf == "翻转(镜像)":
+        cell_w, cell_h = W / grid_size, H / grid_size
+        mid = grid_size // 2
+        in_center = ((jnp.floor(st.cx / cell_w) == mid) &
+                     (jnp.floor(st.cy / cell_h) == mid) & st.valid)
+        # push offenders one cell left (wrapping), preserving in-cell offset
+        new_cx = jnp.where(in_center, st.cx - cell_w, st.cx)
+        new_cx = jnp.where(new_cx < 0, new_cx + W, new_cx)
+        return st._replace(cx=new_cx)
+    return st
+
+
+def state_hash(st: ElementState) -> jnp.ndarray:
+    """Order-independent structural hash of a frame (uint32).
+
+    Replaces the reference's recursive frozenset keys
+    (src/generator.py:149-177): quantized fields -> per-element polynomial
+    hash -> sum over valid elements.
+    """
+    def q(x):
+        return jnp.round(x).astype(jnp.uint32)
+
+    fields = [
+        st.kind.astype(jnp.uint32), q(st.size), q(st.cx), q(st.cy),
+        q(st.angle * 8.0), st.fill.astype(jnp.uint32), q(st.stroke),
+        q(st.color[..., 0]), q(st.color[..., 1]), q(st.color[..., 2]),
+        q(st.bbox[..., 0]), q(st.bbox[..., 1]), q(st.bbox[..., 2]),
+        q(st.bbox[..., 3]),
+        st.flip_h.astype(jnp.uint32), st.flip_v.astype(jnp.uint32),
+    ]
+    h = jnp.full(st.kind.shape, 2166136261, jnp.uint32)
+    for f in fields:
+        h = h * jnp.uint32(16777619) + f
+    h = jnp.where(st.valid, h | jnp.uint32(1), jnp.uint32(0))
+    return jnp.sum(h, axis=-1, dtype=jnp.uint32)
+
+
+def _random_subset(key, st: ElementState) -> ElementState:
+    """random.sample(elems, randint(0, n)) on fixed slots."""
+    k1, k2 = jax.random.split(key)
+    n = st.count()
+    c = jax.random.randint(k1, (), 0, n + 1)
+    scores = jnp.where(st.valid, jax.random.uniform(k2, (st.num_slots,)), jnp.inf)
+    rank = jnp.argsort(jnp.argsort(scores))
+    return pack_state(st, (rank < c) & st.valid, st.num_slots)
+
+
+def make_sample_fn(leaf: str, cfg: GenConfig):
+    """Build the unbatched per-sample generation function for one leaf."""
+    W, H = cfg.canvas_size
+    E = cfg.max_elems
+    L = seq_len_for(leaf)
+    O = cfg.num_options
+    init_fn, step_fn = RULES[leaf]
+    n0 = proto_n_for(leaf)
+    gs = cfg.grid_size
+
+    def distractor_candidate(key, prev2: ElementState, prev1: ElementState,
+                             use_grid, j: int) -> ElementState:
+        if leaf in OVERLAY_LEAVES:
+            k1, k2 = jax.random.split(key)
+            return concat_states(_random_subset(k1, prev1),
+                                 _random_subset(k2, prev2), E)
+        if leaf == "翻转(镜像)" and j == 1:
+            # reference: first distractor is the un-flipped previous frame
+            # (src/generator.py:454-455)
+            return prev1
+        k1, k2 = jax.random.split(key)
+        params = init_fn(k1, prev1, use_grid, W, H, gs)
+        new, _ = step_fn(prev2, prev1, params, k2, jnp.asarray(1), use_grid,
+                         W, H, gs)
+        return new
+
+    def one_sample(key, use_grid):
+        kp, kc, kr, kd, ksh, kscan = jax.random.split(key, 6)
+
+        init = sample_prototype(kp, W, H, E, n=n0, use_grid=use_grid,
+                                grid_size=gs)
+        init = _constrain_prototype(leaf, kc, init, W, H, gs)
+        params = init_fn(kr, init, use_grid, W, H, gs)
+
+        step_keys = jax.random.split(kscan, L - 1)
+
+        def body(carry, xs):
+            prev, cur, p = carry
+            i, k = xs
+            new, p = step_fn(prev, cur, p, k, i, use_grid, W, H, gs)
+            return (cur, new, p), new
+
+        (_, _, params_out), seq = jax.lax.scan(
+            body, (init, init, params), (jnp.arange(1, L), step_keys))
+        states = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b], 0), init, seq)  # [L,...]
+
+        frame = lambda t: jax.tree.map(lambda a: a[t], states)
+        correct = frame(L - 1)
+        prev1 = frame(L - 2)
+        prev2 = frame(L - 3)
+
+        # ---- distractors: K candidates per slot, first non-duplicate wins
+        opt_states = [correct]
+        hashes = [state_hash(correct)]
+        dkeys = jax.random.split(kd, O - 1)
+        for j in range(1, O):
+            ckeys = jax.random.split(dkeys[j - 1], N_CANDIDATES)
+            cands = jax.vmap(
+                lambda k: distractor_candidate(k, prev2, prev1, use_grid, j)
+            )(ckeys)
+            chashes = jax.vmap(state_hash)(cands)           # [K]
+            taken = jnp.stack(hashes)                       # [J]
+            ok = jnp.all(chashes[:, None] != taken[None, :], axis=1)
+            pick = jnp.where(jnp.any(ok), jnp.argmax(ok), N_CANDIDATES - 1)
+            chosen = jax.tree.map(lambda a: a[pick], cands)
+            opt_states.append(chosen)
+            hashes.append(chashes[pick])
+
+        options = jax.tree.map(lambda *xs: jnp.stack(xs), *opt_states)  # [O,...]
+
+        # ---- shuffle options (reference src/generator.py:511-513)
+        if cfg.shuffle_options:
+            perm = jax.random.permutation(ksh, O)
+        else:
+            perm = jnp.arange(O)
+        options = jax.tree.map(lambda a: a[perm], options)
+        correct_index = jnp.argmax(perm == 0)
+
+        # ---- render every frame (states + distractors), reuse the correct
+        rframes = jax.tree.map(
+            lambda s, o: jnp.concatenate([s, o], 0), states,
+            jax.tree.map(lambda a: a[:], options))
+        imgs = jax.vmap(lambda s: render_frame(s, W, H, use_grid=use_grid,
+                                               grid_size=gs))(rframes)
+        state_imgs = imgs[:L]
+        option_imgs = imgs[L:]
+
+        return {
+            "states": states, "options": options,
+            "state_imgs": state_imgs, "option_imgs": option_imgs,
+            "perm": perm, "correct_index": correct_index,
+            "use_grid": use_grid, "params": params_out,
+        }
+
+    return one_sample
+
+
+class LeafPipeline:
+    """Compiled batched generator for one rule leaf."""
+
+    def __init__(self, leaf: str, cfg: GenConfig,
+                 show_labels: bool = True, show_border: bool = True):
+        self.leaf = leaf
+        self.cfg = cfg
+        W, H = cfg.canvas_size
+        self.L = seq_len_for(leaf)
+        self.layout: GridLayout = build_layout(
+            W, H, n_states=self.L - 1, num_options=cfg.num_options,
+            show_labels=show_labels, show_border=show_border,
+            bg_color=cfg.bg_color)
+        sample_fn = make_sample_fn(leaf, cfg)
+        layout = self.layout
+
+        def batch_fn(keys, use_grid):
+            out = jax.vmap(sample_fn)(keys, use_grid)
+            grids = jax.vmap(lambda s, o: compose_grid(layout, s[:self.L - 1], o))(
+                out["state_imgs"], out["option_imgs"])
+            out["grid_img"] = grids
+            return out
+
+        self._batch_fn = jax.jit(batch_fn)
+
+    def __call__(self, keys, use_grid):
+        return self._batch_fn(keys, use_grid)
+
+
+def sample_keys(seed: int, sample_ids) -> jnp.ndarray:
+    """Per-sample keys: fold_in(master, id) replicates the reference's
+    seed+index discipline (src/cli.py:20-21) in jax.random land."""
+    master = jax.random.key(seed)
+    return jax.vmap(lambda i: jax.random.fold_in(master, i))(
+        jnp.asarray(sample_ids))

@@ -8,6 +8,12 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin in this image ignores the JAX_PLATFORMS env var; the
+# config API still wins if applied before backend initialization.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import sys
 from pathlib import Path
 

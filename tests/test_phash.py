@@ -1,0 +1,55 @@
+# test_phash.py — perceptual hash + dedup semantics.
+import numpy as np
+
+from reasoning_image_generation_tpu.ops.phash import (
+    phash_batch, hamming_matrix, dedup_keep_mask, dedup_images)
+
+
+def _noise_img(seed, shift=0):
+    rng = np.random.default_rng(seed)
+    img = np.full((64, 64, 3), 255, np.uint8)
+    # a few random rectangles
+    for _ in range(4):
+        x, y = rng.integers(0, 40, 2)
+        w, h = rng.integers(8, 20, 2)
+        c = rng.integers(0, 255, 3)
+        img[y + shift:y + h + shift, x:x + w] = c
+    return img
+
+
+def test_identical_images_hash_equal():
+    a = _noise_img(0)
+    h = np.asarray(phash_batch(np.stack([a, a.copy()])))
+    assert (h[0] == h[1]).all()
+
+
+def test_near_duplicate_close_distinct_far():
+    a = _noise_img(0)
+    b = _noise_img(0, shift=1)    # 1px shift: near-duplicate
+    c = _noise_img(99)            # different content
+    h = np.asarray(phash_batch(np.stack([a, b, c])))
+    d = np.asarray(hamming_matrix(h))
+    assert d[0, 1] <= 6, f"near-dup distance {d[0,1]}"
+    assert d[0, 2] > 10, f"distinct distance {d[0,2]}"
+    assert (np.diag(d) == 0).all()
+
+
+def test_dedup_keep_mask_greedy():
+    a = _noise_img(1)
+    batch = np.stack([a, a.copy(), _noise_img(2), a.copy(), _noise_img(3)])
+    _, keep = dedup_images(batch, threshold=4)
+    keep = np.asarray(keep)
+    assert keep[0] and not keep[1] and keep[2] and not keep[3] and keep[4]
+
+
+def test_sharded_dedup_matches_single_device():
+    import jax
+    from reasoning_image_generation_tpu.parallel.mesh import (
+        make_mesh, sharded_dedup_mask)
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual devices"
+    imgs = np.stack([_noise_img(i % 3) for i in range(16)])
+    h = phash_batch(imgs)
+    ref_mask = np.asarray(dedup_keep_mask(h, threshold=4))
+    mesh = make_mesh(8)
+    got = np.asarray(sharded_dedup_mask(mesh, h, threshold=4))
+    np.testing.assert_array_equal(ref_mask, got)
