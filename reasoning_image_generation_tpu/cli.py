@@ -43,9 +43,22 @@ def write_index(out_dir: str, metas):
         json.dump(metas, f, ensure_ascii=False, indent=2)
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: the per-leaf pipeline programs
+    compile once per machine, not once per process."""
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/rig_tpu_xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    enable_compilation_cache()
     from .utils.config import GenConfig
     from .models.rpm.generator import RPMGeneratorTPU
 

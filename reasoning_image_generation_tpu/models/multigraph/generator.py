@@ -1,0 +1,119 @@
+# generator.py — multigraph host orchestration (batch + reference API).
+"""GeometryGeneratorTPU: the single-image class-identification pipeline.
+
+API mirrors the reference GeometryGenerator
+(multigraph_generation/generator.py:58-568): ``generate(mode, save_path,
+params_save_path, dpi, seed)`` returns a GenerationRecord-shaped dict and
+writes a PNG + a params JSON with the ShapeParameters field vocabulary
+(multigraph_generation/parameter.py:11-30).
+
+The TPU-native addition is ``generate_batch``: N scenes built on host
+(microseconds each), rendered in ONE jitted program on device, exported via
+the thread pool — replacing the reference's one-matplotlib-figure-per-
+process design (multigraph_generation/cli.py:52-58).
+"""
+from __future__ import annotations
+
+import os
+import uuid
+from datetime import datetime
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...io.writer import ExportPool, ensure_dir
+from .scene import build_scene_batch, BOUNDS
+from .renderer import render_scene_batch
+
+_PARAM_FIELDS_DEFAULTS = {
+    "rotation": 0.0, "edge_color": None, "line_width": None,
+    "line_style": None, "fill_color": None, "alpha": None,
+    "has_gradient": False, "gradient_colors": None,
+    "has_mask": False, "mask_type": None,
+    "has_decoration": False, "decoration_style": None,
+}
+
+
+def _shape_params_dict(meta: Dict) -> Dict:
+    """ShapeParameters.__dict__-shaped record (parameter.py:11-30)."""
+    out = {
+        "shape_id": meta.get("shape_id", ""),
+        "shape_type": meta.get("shape_type", ""),
+        "center": list(meta.get("center", (0.0, 0.0))),
+        "bbox": list(meta.get("bbox", (0, 0, 0, 0))),
+        "size": meta.get("size"),
+    }
+    for k, v in _PARAM_FIELDS_DEFAULTS.items():
+        out[k] = meta.get(k, v)
+    extra = {k: v for k, v in meta.items()
+             if k not in out and k not in ("shape_id", "shape_type")}
+    out["extra_params"] = _jsonable(extra)
+    out["decoration_artists"] = []
+    return _jsonable(out)
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj
+
+
+class GeometryGeneratorTPU:
+    def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
+                 log_level: str = "INFO", io_workers: int = 8):
+        self.bounds = bounds
+        self.global_scale = float(global_scale)
+        self._pool = ExportPool(workers=io_workers)
+        self.generation_history: List[Dict] = []
+
+    def generate(self, mode: str = "random", save_path: Optional[str] = None,
+                 params_save_path: Optional[str] = None, dpi: int = 200,
+                 seed: Optional[int] = None,
+                 center_on_canvas: bool = True) -> Dict:
+        recs = self.generate_batch([seed if seed is not None else 0], [mode],
+                                   [save_path], [params_save_path], dpi=dpi)
+        return recs[0]
+
+    def generate_batch(self, seeds, modes, save_paths=None,
+                       params_save_paths=None, dpi: int = 200) -> List[Dict]:
+        n = len(seeds)
+        save_paths = save_paths or [None] * n
+        params_save_paths = params_save_paths or [None] * n
+
+        batch, metas = build_scene_batch(seeds, modes, self.global_scale)
+        imgs = np.asarray(render_scene_batch(batch, dpi=dpi))
+
+        records = []
+        for i in range(n):
+            rec = {
+                "generation_id": str(uuid.uuid4()),
+                "timestamp": datetime.now().isoformat(),
+                "seed": int(seeds[i]),
+                "mode": modes[i],
+                "shape_count": metas[i]["shape_count"],
+                "bounds": list(self.bounds),
+                "global_scale": self.global_scale,
+                "shapes": [_shape_params_dict(m) for m in metas[i]["shapes"]],
+            }
+            if save_paths[i]:
+                d = os.path.dirname(save_paths[i])
+                if d:
+                    ensure_dir(d)
+                self._pool.submit_png(save_paths[i], imgs[i])
+            if params_save_paths[i]:
+                d = os.path.dirname(params_save_paths[i])
+                if d:
+                    ensure_dir(d)
+                self._pool.submit_json(params_save_paths[i], rec)
+            self.generation_history.append(rec)
+            records.append(rec)
+        return records
+
+    def close(self):
+        self._pool.close()

@@ -1,0 +1,115 @@
+# test_multigraph.py — scene construction + rendering for the mg pipeline.
+import numpy as np
+import pytest
+
+from reasoning_image_generation_tpu.models.multigraph.scene import (
+    build_scene, build_scene_batch, circle_poly, poly_centroid, poly_area,
+    points_in_poly, polys_overlap, poly_min_distance, overlap_area,
+    combine_nested, combine_adjacent, combine_intersecting)
+from reasoning_image_generation_tpu.models.multigraph.renderer import (
+    render_scene_batch, data_to_pixel_transform)
+
+import random
+
+TEST_DPI = 25  # 200x200 px: geometry identical, render cheap on test CPU
+
+
+def test_geometry_predicates():
+    c = circle_poly((0, 0), 1.0)
+    assert abs(poly_area(c) - np.pi) < 0.02
+    assert np.allclose(poly_centroid(c), [0, 0], atol=1e-5)
+    pts = np.asarray([[0, 0], [2, 0], [0.9, 0]])
+    np.testing.assert_array_equal(points_in_poly(pts, c), [True, False, True])
+
+    c2 = circle_poly((1.0, 0), 1.0)
+    assert polys_overlap(c, c2)
+    c3 = circle_poly((3.0, 0), 1.0)
+    assert not polys_overlap(c, c3)
+    assert abs(poly_min_distance(c, c3) - 1.0) < 0.02
+    assert abs(overlap_area(c, c) - np.pi) < 0.2
+
+
+def test_combine_nested_scales_and_centers():
+    a = circle_poly((0, 0), 2.0)
+    b = circle_poly((1, 1), 1.5)
+    placed = combine_nested([a, b])
+    # inner scaled by 0.4 about centroid then moved to outer centroid
+    assert np.allclose(poly_centroid(placed[1]), poly_centroid(placed[0]), atol=1e-4)
+    assert abs(poly_area(placed[1]) - poly_area(b) * 0.16) < 0.05
+
+
+def test_combine_adjacent_touches_without_overlap():
+    rng = random.Random(0)
+    a = circle_poly((0, 0), 1.5)
+    b = circle_poly((0.2, 0.1), 1.0)
+    placed = combine_adjacent(rng, [a, b])
+    assert not polys_overlap(placed[0], placed[1])
+    assert poly_min_distance(placed[0], placed[1]) < 0.15
+
+
+def test_combine_intersecting_overlaps():
+    rng = random.Random(1)
+    a = circle_poly((0, 0), 2.0)
+    b = circle_poly((5, 5), 1.5)
+    placed = combine_intersecting(rng, [a, b])
+    ov = overlap_area(placed[0], placed[1])
+    assert ov >= 0.05 * min(poly_area(a), poly_area(b))
+
+
+@pytest.mark.parametrize("mode", ["random", "nested", "adjacent", "intersecting"])
+def test_build_scene_modes(mode):
+    sc, rec = build_scene(seed=3, mode=mode)
+    n_valid = int(sc["shape_valid"].sum())
+    assert rec["shape_count"] == n_valid
+    if mode == "random":
+        assert n_valid == 1
+        # single-shape always has decoration or mask
+        assert sc["line_valid"].any() or sc["mask_mode"] > 0
+    else:
+        assert 2 <= n_valid <= 3
+    # recentered: union bbox centered at origin
+    pts = sc["shape_verts"][sc["shape_valid"]].reshape(-1, 2)
+    lo, hi = pts.min(0), pts.max(0)
+    if not sc["mask_valid"].any() and not sc["line_valid"].any():
+        assert np.allclose((lo + hi) / 2, 0, atol=1e-3)
+    # record schema fields
+    sp = rec["shapes"][0]
+    for key in ("center", "bbox", "edge_color", "line_width", "fill_color",
+                "alpha"):
+        assert key in sp
+
+
+def test_render_batch_shapes_and_content():
+    seeds = [0, 1, 2, 3]
+    modes = ["random", "nested", "adjacent", "intersecting"]
+    batch, _ = build_scene_batch(seeds, modes)
+    imgs = np.asarray(render_scene_batch(batch, dpi=TEST_DPI))
+    s = 8 * TEST_DPI
+    assert imgs.shape == (4, s, s, 3)
+    for i in range(4):
+        assert (imgs[i] < 200).mean() > 0.001, f"scene {i} looks empty"
+
+
+def test_generator_api(tmp_path):
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+    gen = GeometryGeneratorTPU()
+    png = str(tmp_path / "img.png")
+    js = str(tmp_path / "params.json")
+    rec = gen.generate(mode="adjacent", save_path=png, params_save_path=js,
+                       dpi=TEST_DPI, seed=5)
+    gen.close()
+    import json, os
+    assert os.path.exists(png) and os.path.exists(js)
+    saved = json.load(open(js))
+    assert saved["mode"] == "adjacent"
+    assert saved["shape_count"] == len(saved["shapes"])
+    for sp in saved["shapes"]:
+        assert "shape_id" in sp and "extra_params" in sp
+
+
+def test_transform_matches_matplotlib():
+    scale, x0, y0, size = data_to_pixel_transform(200)
+    assert size == 1600
+    assert abs(scale - 123.2) < 1.0
+    assert abs(x0 - 820.0) < 2.0
