@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+# bench.py — end-to-end throughput benchmark (one JSON line to stdout).
+"""Measures full RPM sample generation throughput (device generation +
+render + grid compose + PNG/JSON export) and compares against the measured
+reference baseline on this machine.
+
+Baseline: the reference CPU pipeline (/root/reference/src/cli.py) measured
+on this host at 0.202 samples/s (32-sample run, single CPU core,
+2026-08-16).  The reference publishes no benchmark numbers of its own
+(BASELINE.md), so the measured-on-this-host number is the denominator.
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REFERENCE_BASELINE_SPS = 0.202
+
+N_TIMED = 96
+
+
+def main():
+    from reasoning_image_generation_tpu.cli import enable_compilation_cache
+    enable_compilation_cache()
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+
+    out_dir = tempfile.mkdtemp(prefix="rig_bench_")
+    try:
+        cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32)
+        gen = RPMGeneratorTPU(cfg)
+        # warm-up: same id range as the timed run, so every leaf pipeline
+        # the timed run needs is already compiled (and persisted to the
+        # XLA compilation cache for future processes)
+        gen.generate_ids(list(range(N_TIMED)))
+        gen._pool.drain()
+
+        t0 = time.time()
+        metas = gen.generate_ids(list(range(N_TIMED)))
+        gen._pool.drain()
+        dt = time.time() - t0
+        gen.close()
+        sps = len(metas) / dt
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    print(json.dumps({
+        "metric": "rpm_samples_per_sec",
+        "value": round(sps, 3),
+        "unit": "samples/s",
+        "vs_baseline": round(sps / REFERENCE_BASELINE_SPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
