@@ -65,23 +65,14 @@ def data_to_pixel_transform(dpi: int):
 
 
 def _poly_sdf(px, py, verts):
-    """Signed distance of pixels [H,W] to polygon [V,2] (negative inside)."""
-    ax, ay = verts[:, 0], verts[:, 1]
-    bx, by = jnp.roll(ax, -1), jnp.roll(ay, -1)
-    ex, ey = bx - ax, by - ay
-    inv = 1.0 / (ex * ex + ey * ey + 1e-12)
-    pxe = px[..., None] - ax
-    pye = py[..., None] - ay
-    t = jnp.clip((pxe * ex + pye * ey) * inv, 0.0, 1.0)
-    dx = pxe - t * ex
-    dy = pye - t * ey
-    dist = jnp.sqrt(jnp.min(dx * dx + dy * dy, axis=-1) + 1e-20)
-    cond = (ay > py[..., None]) != (by > py[..., None])
-    safe = jnp.where(ey == 0, 1.0, ey)
-    xint = ax + (py[..., None] - ay) * ex / safe
-    inside = (jnp.sum((cond & (px[..., None] < xint)).astype(jnp.int32),
-                      axis=-1) % 2) == 1
-    return jnp.where(inside, -dist, dist)
+    """Signed distance of pixels [H,W] to polygon [V,2] (negative inside).
+
+    Chunked over edges (see ops/raster._polygon_field): at the production
+    1600^2 canvas an un-chunked [H, W, 64] broadcast would be 650 MB per
+    shape and OOM HBM for any real batch."""
+    from ...ops.raster import _polygon_field
+    dist, inside = _polygon_field(px, py, verts)
+    return jnp.where(inside, -dist, jnp.sqrt(dist * dist + 1e-20))
 
 
 def _seg_dist(px, py, seg):

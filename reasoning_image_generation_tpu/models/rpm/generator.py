@@ -85,8 +85,14 @@ class RPMGeneratorTPU:
             for start in range(0, len(entries), B):
                 chunk = entries[start:start + B]
                 ids = [e[0] for e in chunk]
-                use_grid = np.asarray([e[2] for e in chunk])
-                keys = sample_keys(self.cfg.seed or 0, np.asarray(ids))
+                # bucket ragged chunks to power-of-two batch shapes so each
+                # leaf compiles O(log B) program shapes, not one per size
+                # (padded outputs are generated and discarded)
+                Bp = min(B, 1 << max(0, (len(ids) - 1).bit_length()))
+                pad_ids = ids + [ids[-1]] * (Bp - len(ids))
+                use_grid = np.asarray([e[2] for e in chunk] +
+                                      [False] * (Bp - len(ids)))
+                keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
                 out = pipe(keys, use_grid)
                 out = {k: (np.asarray(v) if not isinstance(v, (dict, tuple)) else v)
                        for k, v in out.items()}

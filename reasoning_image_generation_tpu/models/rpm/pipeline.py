@@ -190,18 +190,13 @@ def make_sample_fn(leaf: str, cfg: GenConfig):
         options = jax.tree.map(lambda a: a[perm], options)
         correct_index = jnp.argmax(perm == 0)
 
-        # ---- render every frame (states + distractors), reuse the correct
+        # rendering happens at the batch level (see LeafPipeline.batch_fn):
+        # frames are rasterized sequentially with batch-width parallelism so
+        # peak HBM stays at O(batch) canvases instead of O(batch x frames)
         rframes = jax.tree.map(
-            lambda s, o: jnp.concatenate([s, o], 0), states,
-            jax.tree.map(lambda a: a[:], options))
-        imgs = jax.vmap(lambda s: render_frame(s, W, H, use_grid=use_grid,
-                                               grid_size=gs))(rframes)
-        state_imgs = imgs[:L]
-        option_imgs = imgs[L:]
-
+            lambda s, o: jnp.concatenate([s, o], 0), states, options)
         return {
-            "states": states, "options": options,
-            "state_imgs": state_imgs, "option_imgs": option_imgs,
+            "states": states, "options": options, "rframes": rframes,
             "perm": perm, "correct_index": correct_index,
             "use_grid": use_grid, "params": params_out,
         }
@@ -224,10 +219,26 @@ class LeafPipeline:
             bg_color=cfg.bg_color)
         sample_fn = make_sample_fn(leaf, cfg)
         layout = self.layout
+        W, H = cfg.canvas_size
+        L = self.L
+        gs = cfg.grid_size
 
         def batch_fn(keys, use_grid):
             out = jax.vmap(sample_fn)(keys, use_grid)
-            grids = jax.vmap(lambda s, o: compose_grid(layout, s[:self.L - 1], o))(
+            rframes = out.pop("rframes")  # ElementState [B, F, E...]
+            # sequential over frames, parallel over batch: bounds peak HBM
+            frames_first = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), rframes)
+
+            def render_one_frame(frame_b):
+                return jax.vmap(
+                    lambda s, g: render_frame(s, W, H, use_grid=g, grid_size=gs)
+                )(frame_b, use_grid)
+
+            imgs = jax.lax.map(render_one_frame, frames_first)  # [F, B, H, W, 3]
+            imgs = jnp.swapaxes(imgs, 0, 1)                     # [B, F, ...]
+            out["state_imgs"] = imgs[:, :L]
+            out["option_imgs"] = imgs[:, L:]
+            grids = jax.vmap(lambda s, o: compose_grid(layout, s[:L - 1], o))(
                 out["state_imgs"], out["option_imgs"])
             out["grid_img"] = grids
             return out

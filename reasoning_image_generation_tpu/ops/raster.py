@@ -62,30 +62,51 @@ def element_verts(kind, size, angle, flip_h, flip_v, cx, cy):
     return jnp.round(v), nv
 
 
+_EDGE_CHUNK = 8
+
+
 def _polygon_field(px, py, verts):
     """Unsigned distance + even-odd inside test for a padded polygon.
 
     px, py: [H, W] pixel coords; verts: [V, 2].
     Returns (dist [H, W], inside [H, W] bool).
+
+    Edges are processed in chunks of _EDGE_CHUNK inside a fori_loop so the
+    broadcast intermediate is [H, W, chunk] instead of [H, W, V] — XLA
+    would otherwise materialize ~64 MB per element per frame, which OOMs
+    HBM for production batch sizes (batch x frames x elements).
     """
-    ax, ay = verts[:, 0], verts[:, 1]
-    bx, by = jnp.roll(ax, -1), jnp.roll(ay, -1)
-    ex, ey = bx - ax, by - ay
-    inv_len2 = 1.0 / (ex * ex + ey * ey + _EPS)
+    V = verts.shape[0]
+    va = verts
+    vb = jnp.roll(verts, -1, 0)
+    n_chunks = V // _EDGE_CHUNK
 
-    pxe = px[..., None] - ax          # [H, W, V]
-    pye = py[..., None] - ay
-    t = jnp.clip((pxe * ex + pye * ey) * inv_len2, 0.0, 1.0)
-    dx = pxe - t * ex
-    dy = pye - t * ey
-    dist = jnp.sqrt(jnp.min(dx * dx + dy * dy, axis=-1))
+    def body(c, carry):
+        d2, cross = carry
+        a = jax.lax.dynamic_slice(va, (c * _EDGE_CHUNK, 0), (_EDGE_CHUNK, 2))
+        b = jax.lax.dynamic_slice(vb, (c * _EDGE_CHUNK, 0), (_EDGE_CHUNK, 2))
+        ax, ay = a[:, 0], a[:, 1]
+        bx, by = b[:, 0], b[:, 1]
+        ex, ey = bx - ax, by - ay
+        inv_len2 = 1.0 / (ex * ex + ey * ey + _EPS)
+        pxe = px[..., None] - ax          # [H, W, chunk]
+        pye = py[..., None] - ay
+        t = jnp.clip((pxe * ex + pye * ey) * inv_len2, 0.0, 1.0)
+        dx = pxe - t * ex
+        dy = pye - t * ey
+        d2 = jnp.minimum(d2, jnp.min(dx * dx + dy * dy, axis=-1))
+        cond = (ay > py[..., None]) != (by > py[..., None])
+        safe_ey = jnp.where(ey == 0, 1.0, ey)
+        xint = ax + (py[..., None] - ay) * ex / safe_ey
+        cross = cross + jnp.sum((cond & (px[..., None] < xint)).astype(jnp.int32),
+                                axis=-1)
+        return d2, cross
 
-    cond = (ay > py[..., None]) != (by > py[..., None])
-    safe_ey = jnp.where(ey == 0, 1.0, ey)
-    xint = ax + (py[..., None] - ay) * ex / safe_ey
-    crossings = jnp.sum((cond & (px[..., None] < xint)).astype(jnp.int32), axis=-1)
-    inside = (crossings % 2) == 1
-    return dist, inside
+    d2, crossings = jax.lax.fori_loop(
+        0, n_chunks, body,
+        (jnp.full(px.shape, jnp.inf, jnp.float32),
+         jnp.zeros(px.shape, jnp.int32)))
+    return jnp.sqrt(d2), (crossings % 2) == 1
 
 
 def _stroke_alpha(dist, width):
