@@ -220,7 +220,7 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
                     composite()
 
         # grid lines (1px black) when use_grid
-        @pl.when(samp_ref[0, 0] > 0.0)
+        @pl.when(samp_ref[0, 0, 0] > 0.0)
         def _():
             on = jnp.zeros((TH, TW), bool)
             for x in xs_lines:
@@ -232,9 +232,13 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
             gacc[:] = gacc[:] * keep
             bacc[:] = bacc[:] * keep
 
-        out_ref[0, 0] = jnp.clip(jnp.round(racc[:]), 0, 255).astype(jnp.uint8)
-        out_ref[0, 1] = jnp.clip(jnp.round(gacc[:]), 0, 255).astype(jnp.uint8)
-        out_ref[0, 2] = jnp.clip(jnp.round(bacc[:]), 0, 255).astype(jnp.uint8)
+        # Mosaic lacks a direct f32->u8 cast; go through i32
+        def to_u8(x):
+            return jnp.clip(jnp.round(x), 0, 255).astype(jnp.int32).astype(jnp.uint8)
+
+        out_ref[0, 0] = to_u8(racc[:])
+        out_ref[0, 1] = to_u8(gacc[:])
+        out_ref[0, 2] = to_u8(bacc[:])
 
     return kernel
 
@@ -253,20 +257,19 @@ def render_batch_pallas(states: ElementState, W: int, H: int, use_grid,
         lambda s, g: prepare_render_data(s, W, H, g, grid_size)
     )(states, use_grid)
     samp = jnp.stack([use_grid.astype(jnp.float32),
-                      jnp.zeros(N, jnp.float32)], axis=-1)
+                      jnp.zeros(N, jnp.float32)], axis=-1)[:, None, :]
 
     kernel = _make_kernel(E, W, H, grid_size)
     out = pl.pallas_call(
         kernel,
         grid=(N, H // TH, W // TW),
         in_specs=[
-            pl.BlockSpec((1, 2), lambda n, i, j: (n, 0),
+            pl.BlockSpec((1, 1, 2), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, E, NMETA), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, E, 2, G.MAX_VERTS, 2),
-                         lambda n, i, j: (n, 0, 0, 0, 0),
-                         memory_space=pltpu.ANY),
+                         lambda n, i, j: (n, 0, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 3, TH, TW), lambda n, i, j: (n, 0, i, j)),
         out_shape=jax.ShapeDtypeStruct((N, 3, H, W), jnp.uint8),
