@@ -34,6 +34,13 @@ def parse_args(argv=None):
                         "always thread-pooled unless --workers 0)")
     p.add_argument("--batch_size", type=int, default=32,
                    help="samples per XLA program invocation")
+    p.add_argument("--dedup", action="store_true",
+                   help="drop near-duplicate samples (on-device pHash)")
+    p.add_argument("--dedup_threshold", type=int, default=4)
+    p.add_argument("--resume", action="store_true",
+                   help="skip sample ids whose meta.json already exists")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="jax.profiler trace output directory")
     return p.parse_args(argv)
 
 
@@ -87,7 +94,11 @@ def main(argv=None):
     t0 = time.time()
     print(f"Start generating {args.n} samples -> {args.out_dir} "
           f"(batch={args.batch_size}, seed={args.seed})")
-    metas = gen.generate(args.n, progress=True)
+    from .utils.profiling import trace
+    with trace(args.profile_dir):
+        metas = gen.generate(args.n, progress=True, dedup=args.dedup,
+                             dedup_threshold=args.dedup_threshold,
+                             resume=args.resume)
     gen.close()
     write_index(args.out_dir, metas)
     dt = time.time() - t0

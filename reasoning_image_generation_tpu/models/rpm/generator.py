@@ -71,11 +71,42 @@ class RPMGeneratorTPU:
                 show_border=self.show_border)
         return self._pipelines[leaf]
 
-    def generate(self, n: int, progress: bool = False) -> List[dict]:
-        return self.generate_ids(list(range(n)), progress=progress)
+    def generate(self, n: int, progress: bool = False, dedup: bool = False,
+                 dedup_threshold: int = 4, resume: bool = False) -> List[dict]:
+        return self.generate_ids(list(range(n)), progress=progress,
+                                 dedup=dedup, dedup_threshold=dedup_threshold,
+                                 resume=resume)
 
-    def generate_ids(self, sample_ids: List[int], progress: bool = False) -> List[dict]:
+    def _load_existing_meta(self, sid: int):
+        """Resume support: outputs are idempotent by sample id
+        (SURVEY.md §5.4); a sample with an existing meta.json is reused."""
+        import json
+        path = os.path.join(self.samples_dir, f"sample_{sid:06d}", "meta.json")
+        if os.path.exists(path):
+            try:
+                with open(path, encoding="utf-8") as f:
+                    return json.load(f)
+            except Exception:
+                return None
+        return None
+
+    def generate_ids(self, sample_ids: List[int], progress: bool = False,
+                     dedup: bool = False, dedup_threshold: int = 4,
+                     resume: bool = False) -> List[dict]:
         metas: Dict[int, dict] = {}
+        if resume:
+            remaining = []
+            for sid in sample_ids:
+                meta = self._load_existing_meta(sid)
+                if meta is not None:
+                    metas[sid] = meta
+                else:
+                    remaining.append(sid)
+            sample_ids = remaining
+        self._dedup = dedup
+        self._dedup_threshold = dedup_threshold
+        self._corpus_hashes: List = []
+
         groups = self._sample_assignments(sample_ids)
         t0 = time.time()
         done = 0
@@ -105,6 +136,28 @@ class RPMGeneratorTPU:
         self._pool.drain()
         return [metas[i] for i in sorted(metas)]
 
+    def _dedup_mask(self, grid_imgs: np.ndarray, n_real: int) -> np.ndarray:
+        """Corpus-level pHash dedup vs everything generated so far.
+
+        Realizes the reference README's claimed semantic-duplicate filter
+        (reference README.md:8) with the on-device hash kernel: batch pHashes
+        on device, 8-byte hashes compared against the running corpus on host.
+        Returns keep mask [n_real]."""
+        from ...ops.phash import phash_batch
+        hashes = np.asarray(phash_batch(grid_imgs[:n_real]))
+        keep = np.ones(n_real, bool)
+        corpus = self._corpus_hashes
+        for i in range(n_real):
+            h = hashes[i]
+            if corpus:
+                arr = np.stack(corpus)
+                dist = np.unpackbits(np.bitwise_xor(arr, h), axis=1).sum(1)
+                if (dist <= self._dedup_threshold).any():
+                    keep[i] = False
+                    continue
+            corpus.append(h)
+        return keep
+
     def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
         import jax
         L = pipe.L
@@ -119,7 +172,17 @@ class RPMGeneratorTPU:
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
+        if getattr(self, "_dedup", False):
+            keep = self._dedup_mask(grid_imgs, len(chunk))
+        else:
+            keep = np.ones(len(chunk), bool)
+
         for b, (sid, path, use_grid) in enumerate(chunk):
+            if not keep[b]:
+                # near-duplicate of an earlier sample: record, don't export
+                metas[sid] = {"id": int(sid), "category_path": list(path),
+                              "rule": leaf, "duplicate": True}
+                continue
             sample_dir = os.path.join(self.samples_dir, f"sample_{sid:06d}")
             ensure_dir(sample_dir)
             grid_path = os.path.join(self.grids_dir, f"grid_{sid:06d}.png")
