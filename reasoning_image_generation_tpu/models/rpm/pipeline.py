@@ -223,19 +223,34 @@ class LeafPipeline:
         L = self.L
         gs = cfg.grid_size
 
+        use_pallas = getattr(cfg, "renderer", "jnp") == "pallas"
+
         def batch_fn(keys, use_grid):
             out = jax.vmap(sample_fn)(keys, use_grid)
             rframes = out.pop("rframes")  # ElementState [B, F, E...]
-            # sequential over frames, parallel over batch: bounds peak HBM
-            frames_first = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), rframes)
+            F = rframes.kind.shape[1]
+            if use_pallas:
+                # the tiled kernel keeps VMEM-resident working sets, so the
+                # whole [B*F] frame batch renders in one pallas_call
+                from ...ops.raster_pallas import render_batch_pallas
+                flat = jax.tree.map(
+                    lambda a: a.reshape((-1,) + a.shape[2:]), rframes)
+                ug_flat = jnp.repeat(use_grid, F)
+                imgs = render_batch_pallas(flat, W, H, ug_flat, gs)
+                imgs = imgs.reshape((-1, F) + imgs.shape[1:])
+            else:
+                # sequential over frames, parallel over batch: bounds peak HBM
+                frames_first = jax.tree.map(
+                    lambda a: jnp.swapaxes(a, 0, 1), rframes)
 
-            def render_one_frame(frame_b):
-                return jax.vmap(
-                    lambda s, g: render_frame(s, W, H, use_grid=g, grid_size=gs)
-                )(frame_b, use_grid)
+                def render_one_frame(frame_b):
+                    return jax.vmap(
+                        lambda s, g: render_frame(s, W, H, use_grid=g,
+                                                  grid_size=gs)
+                    )(frame_b, use_grid)
 
-            imgs = jax.lax.map(render_one_frame, frames_first)  # [F, B, H, W, 3]
-            imgs = jnp.swapaxes(imgs, 0, 1)                     # [B, F, ...]
+                imgs = jax.lax.map(render_one_frame, frames_first)
+                imgs = jnp.swapaxes(imgs, 0, 1)             # [B, F, ...]
             out["state_imgs"] = imgs[:, :L]
             out["option_imgs"] = imgs[:, L:]
             grids = jax.vmap(lambda s, o: compose_grid(layout, s[:L - 1], o))(
