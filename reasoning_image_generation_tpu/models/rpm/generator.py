@@ -110,29 +110,49 @@ class RPMGeneratorTPU:
         groups = self._sample_assignments(sample_ids)
         t0 = time.time()
         done = 0
+
+        # software pipeline: dispatch batch k+1 to the device before pulling
+        # batch k's images to the host, so XLA compute overlaps the
+        # device->host transfer + PNG/JSON export
+        pending = None
+        work = []
         for leaf, entries in groups.items():
-            pipe = self._pipeline(leaf)
             B = self.cfg.batch_size
             for start in range(0, len(entries), B):
-                chunk = entries[start:start + B]
-                ids = [e[0] for e in chunk]
-                # bucket ragged chunks to power-of-two batch shapes so each
-                # leaf compiles O(log B) program shapes, not one per size
-                # (padded outputs are generated and discarded)
-                Bp = min(B, 1 << max(0, (len(ids) - 1).bit_length()))
-                pad_ids = ids + [ids[-1]] * (Bp - len(ids))
-                use_grid = np.asarray([e[2] for e in chunk] +
-                                      [False] * (Bp - len(ids)))
-                keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
-                out = pipe(keys, use_grid)
-                out = {k: (np.asarray(v) if not isinstance(v, (dict, tuple)) else v)
-                       for k, v in out.items()}
-                self._export_batch(leaf, pipe, chunk, out, metas)
-                done += len(chunk)
+                work.append((leaf, entries[start:start + B]))
+
+        for leaf, chunk in work:
+            pipe = self._pipeline(leaf)
+            ids = [e[0] for e in chunk]
+            # bucket ragged chunks to power-of-two batch shapes so each
+            # leaf compiles O(log B) program shapes, not one per size
+            # (padded outputs are generated and discarded)
+            Bp = min(self.cfg.batch_size,
+                     1 << max(0, (len(ids) - 1).bit_length()))
+            pad_ids = ids + [ids[-1]] * (Bp - len(ids))
+            use_grid = np.asarray([e[2] for e in chunk] +
+                                  [False] * (Bp - len(ids)))
+            keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
+            out = pipe(keys, use_grid)  # async dispatch
+
+            if pending is not None:
+                p_leaf, p_pipe, p_chunk, p_out = pending
+                self._export_batch(p_leaf, p_pipe, p_chunk, p_out, metas)
+                done += len(p_chunk)
                 if progress:
                     dt = time.time() - t0
                     logger.info("generated %d samples (%.2f samples/s)",
                                 done, done / max(dt, 1e-9))
+            pending = (leaf, pipe, chunk, out)
+
+        if pending is not None:
+            p_leaf, p_pipe, p_chunk, p_out = pending
+            self._export_batch(p_leaf, p_pipe, p_chunk, p_out, metas)
+            done += len(p_chunk)
+            if progress:
+                dt = time.time() - t0
+                logger.info("generated %d samples (%.2f samples/s)",
+                            done, done / max(dt, 1e-9))
         self._pool.drain()
         return [metas[i] for i in sorted(metas)]
 
