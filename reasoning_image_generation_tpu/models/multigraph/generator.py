@@ -89,8 +89,11 @@ class GeometryGeneratorTPU:
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
         imgs = np.asarray(render_scene_batch(batch, dpi=dpi))
 
+        from .check import check_scene_inside, compute_scene_features
         records = []
         for i in range(n):
+            scene_i = {k: v[i] for k, v in batch.items()}
+            qc = check_scene_inside(scene_i, self.bounds, dpi=dpi)
             rec = {
                 "generation_id": str(uuid.uuid4()),
                 "timestamp": datetime.now().isoformat(),
@@ -100,7 +103,16 @@ class GeometryGeneratorTPU:
                 "bounds": list(self.bounds),
                 "global_scale": self.global_scale,
                 "shapes": [_shape_params_dict(m) for m in metas[i]["shapes"]],
+                # render-time QC (reference multigraph_generation/check.py:82,
+                # printed at generator.py:554-563; recorded here instead)
+                "qc": qc,
             }
+            if metas[i]["shape_count"] > 1:
+                # pairwise tangency/crossing features — the reference's
+                # compute_geos_features (multi_combinator.py:114-533) dies on
+                # a math.lg10 typo; ours is functional
+                rec["geos_features"] = _jsonable(
+                    compute_scene_features(scene_i))
             if save_paths[i]:
                 d = os.path.dirname(save_paths[i])
                 if d:
