@@ -591,6 +591,45 @@ def step_traverse_positions(prev, cur, p: TraversePosParams, key, i, use_grid,
 
 
 # ===========================================================================
+# 元素传递 rule_element_transfer (reference src/rules.py:1020-1045)
+# ===========================================================================
+# The reference version is dead code: it calls undefined helpers
+# (get_canvas_and_elements / paste) and would NameError if ever invoked
+# (it is registered in RULE_MAP but absent from DEFAULT_CATEGORIES, so it
+# never samples).  This is a working realization of its documented intent:
+# copy the largest element of the previous frame into the center of the
+# current frame.
+
+
+def init_element_transfer(key, init_state, use_grid, W, H, grid_size=3):
+    return OverlayParams(jnp.zeros(()))
+
+
+def step_element_transfer(prev, cur, p, key, i, use_grid, W, H, grid_size=3):
+    area = jnp.where(prev.valid, prev.size, -1.0)
+    big = jnp.argmax(area)
+    first_free = jnp.argmin(cur.valid)
+    has_room = ~jnp.all(cur.valid)
+    E = cur.num_slots
+
+    def put(cur_f, prev_f):
+        sel = (jnp.arange(E) == first_free) & has_room
+        src = prev_f[big]
+        return jnp.where(sel.reshape((E,) + (1,) * (cur_f.ndim - 1)),
+                         src, cur_f)
+
+    out = jax.tree.map(put, cur, prev)
+    # transferred element lands at the canvas center
+    out = out._replace(
+        cx=jnp.where(jnp.arange(E) == first_free,
+                     jnp.where(has_room, W / 2.0, out.cx), out.cx),
+        cy=jnp.where(jnp.arange(E) == first_free,
+                     jnp.where(has_room, H / 2.0, out.cy), out.cy),
+        valid=cur.valid | ((jnp.arange(E) == first_free) & has_room))
+    return out, p
+
+
+# ===========================================================================
 # registry
 # ===========================================================================
 
@@ -606,4 +645,6 @@ RULES = {
     "位置遍历": (init_traverse_positions, step_traverse_positions),
     # reference alias: '多遍历' → rule_translate (src/rules.py:1657)
     "多遍历": (init_translate, step_translate),
+    # registered-but-dead in the reference (src/rules.py:1659); working here
+    "元素传递": (init_element_transfer, step_element_transfer),
 }

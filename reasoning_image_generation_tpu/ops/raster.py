@@ -127,8 +127,14 @@ def _over(canvas, color, alpha):
 
 
 def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
-                      cx, cy, angle, flip_h, flip_v, color, valid):
-    """Draw one element onto the canvas (f32 [H, W, 3], 0-255)."""
+                      cx, cy, angle, flip_h, flip_v, color, valid,
+                      soft_blur: float = 0.0):
+    """Draw one element onto the canvas (f32 [H, W, 3], 0-255).
+
+    soft_blur > 0 reproduces the reference's 'soft' antialias mode: the
+    polygon fill mask is Gaussian-blurred before compositing
+    (reference src/shapes.py:58-69); modeled as a linear alpha ramp of
+    comparable width on the SDF."""
     outline = jnp.zeros(3, jnp.float32)  # black outline (reference generator.py:106)
     half = size * 0.5
     stroke_w = jnp.maximum(1.0, jnp.round(stroke))
@@ -160,10 +166,22 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
     is_circle = kind == G.CIRCLE
     is_crescent = kind == G.CRESCENT
 
-    # fill coverage (hard edges, like cv2.fillPoly / mask composites)
-    fill0 = jnp.where(is_circle, d_circ < 0,
-                      jnp.where(is_crescent, (d_cout < 0) & (d_cin >= 0), in0))
-    fill1 = in1 & has_p1
+    # fill coverage (hard edges, like cv2.fillPoly / mask composites);
+    # soft mode widens the polygon fill edge into a blur-like ramp
+    sd0 = jnp.where(in0, -d0, d0)
+    sd1 = jnp.where(in1, -d1, d1)
+    if soft_blur > 0:
+        ramp = 0.5 * soft_blur
+        fill0_a = jnp.clip(0.5 - sd0 / ramp, 0.0, 1.0)
+        fill1_a = jnp.clip(0.5 - sd1 / ramp, 0.0, 1.0) * has_p1
+    else:
+        fill0_a = in0.astype(jnp.float32)
+        fill1_a = (in1 & has_p1).astype(jnp.float32)
+    fill0 = jnp.where(is_circle, (d_circ < 0).astype(jnp.float32),
+                      jnp.where(is_crescent,
+                                ((d_cout < 0) & (d_cin >= 0)).astype(jnp.float32),
+                                fill0_a))
+    fill1 = fill1_a
 
     # stroke coverage (AA bands, like cv2 LINE_AA outlines)
     s0 = jnp.where(is_circle, _stroke_alpha(jnp.abs(d_circ), stroke_w),
@@ -179,9 +197,9 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
     # painter's order inside the element: part0 fill, part0 stroke,
     # part1 fill, part1 stroke (matches the reference's plus draw order,
     # src/shapes.py:477-509)
-    canvas = _over(canvas, color, fill0.astype(jnp.float32) * fill_f)
+    canvas = _over(canvas, color, fill0 * fill_f)
     canvas = _over(canvas, outline, s0 * valid_f)
-    canvas = _over(canvas, color, fill1.astype(jnp.float32) * fill_f)
+    canvas = _over(canvas, color, fill1 * fill_f)
     canvas = _over(canvas, outline, s1 * valid_f)
     return canvas
 
@@ -189,7 +207,9 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
 def render_frame(state: ElementState, W: int, H: int,
                  bg_color=(255.0, 255.0, 255.0),
                  use_grid=False, grid_size: int = 3,
-                 honor_flip: bool = False) -> jnp.ndarray:
+                 honor_flip: bool = False,
+                 antialias_mode: str = "fast", scale: int = 2,
+                 soft_blur: int = 7) -> jnp.ndarray:
     """Render one frame (unbatched ElementState) to u8 [H, W, 3] RGB.
 
     `use_grid` may be a traced boolean; grid snap + 1px grid lines follow
@@ -201,7 +221,42 @@ def render_frame(state: ElementState, W: int, H: int,
     (reference src/generator.py:94).  Pass True to actually mirror the
     geometry (the Shape.draw ``flip_mode`` capability,
     reference src/shapes.py:247-258).
+
+    antialias_mode mirrors Shape.draw's three AA strategies
+    (reference src/shapes.py:658-665):
+      'fast' — hard fills + AA outlines (default, cv2 parity path);
+      'soft' — blur-widened polygon fill masks (src/shapes.py:58-69);
+      'hq'   — `scale`x supersampled render + antialiased downsample
+               (src/shapes.py:72-81), grid lines applied at target res.
     """
+    if antialias_mode == "hq" and scale > 1:
+        # grid snap applies to element centers BEFORE supersampling
+        ug = jnp.asarray(use_grid)
+        cw, ch = W / grid_size, H / grid_size
+        col = jnp.clip(jnp.floor(state.cx / cw), 0, grid_size - 1)
+        row = jnp.clip(jnp.floor(state.cy / ch), 0, grid_size - 1)
+        snap_cx = jnp.where(ug, jnp.trunc((col + 0.5) * cw), state.cx)
+        snap_cy = jnp.where(ug, jnp.trunc((row + 0.5) * ch), state.cy)
+        big = state._replace(cx=snap_cx * scale, cy=snap_cy * scale,
+                             size=state.size * scale,
+                             stroke=state.stroke * scale)
+        hi = render_frame(big, W * scale, H * scale, bg_color=bg_color,
+                          use_grid=False, grid_size=grid_size,
+                          honor_flip=honor_flip, antialias_mode="fast")
+        lo = jax.image.resize(hi.astype(jnp.float32), (H, W, 3), "linear",
+                              antialias=True)
+        # grid snap/lines happen at target resolution
+        canvas = lo
+        use_grid_arr = jnp.asarray(use_grid)
+        px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
+        py = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
+        xs = jnp.round(jnp.arange(1, grid_size) * W / grid_size)
+        ys = jnp.round(jnp.arange(1, grid_size) * H / grid_size)
+        on_line = (jnp.any(px[..., None] == xs, axis=-1) |
+                   jnp.any(py[..., None] == ys, axis=-1))
+        la = (on_line & use_grid_arr).astype(jnp.float32)
+        canvas = _over(canvas, jnp.zeros(3, jnp.float32), la)
+        return jnp.clip(jnp.round(canvas), 0, 255).astype(jnp.uint8)
     px = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, 0)
     py = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, 1)
     canvas = jnp.broadcast_to(jnp.asarray(bg_color, jnp.float32), (H, W, 3))
@@ -219,13 +274,14 @@ def render_frame(state: ElementState, W: int, H: int,
     fh = state.flip_h if honor_flip else jnp.zeros_like(state.flip_h)
     fv = state.flip_v if honor_flip else jnp.zeros_like(state.flip_v)
 
+    sb = float(soft_blur) if antialias_mode == "soft" else 0.0
     E = state.num_slots
     for e in range(E):  # static unroll: painter's order over slots
         canvas = composite_element(
             canvas, px, py, W, H,
             state.kind[e], state.size[e], state.fill[e], state.stroke[e],
             cx[e], cy[e], angle[e], fh[e], fv[e],
-            state.color[e], state.valid[e])
+            state.color[e], state.valid[e], soft_blur=sb)
 
     # grid lines (1px black), reference src/generator.py:111-122
     xs = jnp.round(jnp.arange(1, grid_size) * W / grid_size)
