@@ -119,6 +119,20 @@ def render_scene(scene, dpi: int = 200):
     # shape strokes (painter's order)
     for s in range(MAX_SHAPES):
         d = _poly_sdf(px, py, scene["shape_verts"][s])
+        # optional radial gradient fill (style.py:68-119 capability):
+        # color = lerp(c0, c1, r / r_max) inside the shape
+        if "grad_valid" in scene:
+            verts = scene["shape_verts"][s]
+            ctr = jnp.mean(verts, axis=0)
+            r = jnp.hypot(px - ctr[0], py - ctr[1])
+            rmax = jnp.max(jnp.hypot(verts[:, 0] - ctr[0],
+                                     verts[:, 1] - ctr[1])) + 1e-6
+            tfrac = jnp.clip(r / rmax, 0.0, 1.0)[..., None]
+            gcol = scene["grad_c0"][s] * (1 - tfrac) + scene["grad_c1"][s] * tfrac
+            galpha = ((d < 0) & scene["grad_valid"][s] &
+                      scene["shape_valid"][s]).astype(jnp.float32) \
+                * scene["grad_alpha"][s]
+            canvas = canvas * (1 - galpha[..., None]) + gcol * galpha[..., None]
         lw_px = scene["shape_lw"][s] * lw_scale
         alpha = _band(jnp.abs(d) * scale, lw_px, scene["shape_alpha"][s])
         # masks apply to shape 0 (single-shape pipeline): keep boundary

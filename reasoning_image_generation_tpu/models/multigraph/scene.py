@@ -230,6 +230,13 @@ def empty_scene() -> Dict[str, np.ndarray]:
         "mask_verts": np.zeros((MAX_MASKS, NV, 2), np.float32),
         "mask_valid": np.zeros((MAX_MASKS,), bool),
         "mask_mode": np.zeros((), np.int32),  # 0 none, 1 cut, 2 replace
+        # radial gradient fills (StyleEnhancer.apply_gradient capability,
+        # multigraph_generation/style.py:68-119 — defined but never called
+        # by the reference generator; available here per shape)
+        "grad_valid": np.zeros((MAX_SHAPES,), bool),
+        "grad_c0": np.zeros((MAX_SHAPES, 3), np.float32),
+        "grad_c1": np.zeros((MAX_SHAPES, 3), np.float32),
+        "grad_alpha": np.zeros((MAX_SHAPES,), np.float32),
         "line_pts": np.zeros((MAX_LINES, 4), np.float32),  # x0,y0,x1,y1
         "line_lw": np.zeros((MAX_LINES,), np.float32),
         "line_alpha": np.zeros((MAX_LINES,), np.float32),
@@ -254,6 +261,13 @@ class _SceneBuilder:
     def add_mask(self, i, verts):
         self.scene["mask_verts"][i] = verts
         self.scene["mask_valid"][i] = True
+
+    def add_gradient(self, i, c0, c1, alpha=0.75):
+        s = self.scene
+        s["grad_valid"][i] = True
+        s["grad_c0"][i] = c0
+        s["grad_c1"][i] = c1
+        s["grad_alpha"][i] = alpha
 
     def next_cycle_color(self):
         c = MPL_CYCLE[self._cycle % len(MPL_CYCLE)]

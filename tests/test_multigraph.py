@@ -113,3 +113,27 @@ def test_transform_matches_matplotlib():
     assert size == 1600
     assert abs(scale - 123.2) < 1.0
     assert abs(x0 - 820.0) < 2.0
+
+
+def test_gradient_fill_capability():
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        empty_scene, circle_poly, hex_to_rgb)
+    from reasoning_image_generation_tpu.models.multigraph.renderer import (
+        render_scene_batch)
+    sc = empty_scene()
+    sc["shape_verts"][0] = circle_poly((0, 0), 3.0)
+    sc["shape_lw"][0] = 1.5
+    sc["shape_alpha"][0] = 0.9
+    sc["shape_valid"][0] = True
+    sc["grad_valid"][0] = True
+    sc["grad_c0"][0] = hex_to_rgb("#FF6B6B")
+    sc["grad_c1"][0] = hex_to_rgb("#4ECDC4")
+    sc["grad_alpha"][0] = 0.75
+    batch = {k: np.stack([v]) for k, v in sc.items()}
+    img = np.asarray(render_scene_batch(batch, dpi=TEST_DPI))[0]
+    s = 8 * TEST_DPI
+    center = img[s // 2, s // 2].astype(int)
+    # center leans toward c0 (reddish), shape interior is not background
+    assert center[0] > center[2] - 10 and (center != 255).any()
+    # outside stays background white
+    assert (img[2, 2] == 255).all()
