@@ -223,7 +223,15 @@ class LeafPipeline:
         L = self.L
         gs = cfg.grid_size
 
-        use_pallas = getattr(cfg, "renderer", "jnp") == "pallas"
+        backend = getattr(cfg, "renderer", "auto")
+        if backend == "auto":
+            plat = jax.devices()[0].platform.lower()
+            on_tpu = plat in ("tpu", "axon") or "tpu" in str(jax.devices()[0]).lower()
+            # the Mosaic kernel needs W and H divisible by its tile shape
+            from ...ops import raster_pallas as _rp
+            tiled_ok = (H % _rp.TH == 0) and (W % _rp.TW == 0)
+            backend = "pallas" if (on_tpu and tiled_ok) else "jnp"
+        use_pallas = backend == "pallas"
 
         def batch_fn(keys, use_grid):
             out = jax.vmap(sample_fn)(keys, use_grid)

