@@ -20,7 +20,7 @@ import time
 
 REFERENCE_BASELINE_SPS = 0.202
 
-N_TIMED = 96
+N_TIMED = 48
 
 
 def main():
@@ -33,12 +33,12 @@ def main():
     try:
         cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32)
         gen = RPMGeneratorTPU(cfg)
-        # warm-up: same id range as the timed run, so every leaf pipeline
-        # the timed run needs is already compiled (and persisted to the
-        # XLA compilation cache for future processes)
-        gen.generate_ids(list(range(N_TIMED)))
-        gen._pool.drain()
+        # warm-up: compile every pipeline the timed run needs, without
+        # pulling images to the host (no transfer/export cost)
+        print("bench: warming up (compiles)...", file=sys.stderr, flush=True)
+        gen.warmup(list(range(N_TIMED)))
 
+        print("bench: timed run...", file=sys.stderr, flush=True)
         t0 = time.time()
         metas = gen.generate_ids(list(range(N_TIMED)))
         gen._pool.drain()

@@ -90,6 +90,23 @@ class RPMGeneratorTPU:
                 return None
         return None
 
+    def warmup(self, sample_ids: List[int]) -> None:
+        """Compile every pipeline the given ids would use WITHOUT pulling
+        images to the host (no transfer, no export)."""
+        import jax
+        for leaf, entries in self._sample_assignments(sample_ids).items():
+            pipe = self._pipeline(leaf)
+            B = self.cfg.batch_size
+            for start in range(0, len(entries), B):
+                chunk = entries[start:start + B]
+                ids = [e[0] for e in chunk]
+                pad_ids = ids + [ids[-1]] * (B - len(ids))
+                use_grid = np.asarray([e[2] for e in chunk] +
+                                      [False] * (B - len(ids)))
+                keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
+                out = pipe(keys, use_grid)
+                jax.block_until_ready(out["grid_img"])
+
     def generate_ids(self, sample_ids: List[int], progress: bool = False,
                      dedup: bool = False, dedup_threshold: int = 4,
                      resume: bool = False) -> List[dict]:
@@ -124,11 +141,11 @@ class RPMGeneratorTPU:
         for leaf, chunk in work:
             pipe = self._pipeline(leaf)
             ids = [e[0] for e in chunk]
-            # bucket ragged chunks to power-of-two batch shapes so each
-            # leaf compiles O(log B) program shapes, not one per size
+            # pad ragged chunks to the FULL batch size: exactly ONE compiled
+            # program shape per leaf, ever.  Wasted compute on padding is
+            # milliseconds; every extra compiled shape costs 30-200s.
             # (padded outputs are generated and discarded)
-            Bp = min(self.cfg.batch_size,
-                     1 << max(0, (len(ids) - 1).bit_length()))
+            Bp = self.cfg.batch_size
             pad_ids = ids + [ids[-1]] * (Bp - len(ids))
             use_grid = np.asarray([e[2] for e in chunk] +
                                   [False] * (Bp - len(ids)))
@@ -183,14 +200,15 @@ class RPMGeneratorTPU:
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
-        states_np = jax.tree.map(np.asarray, out["states"])
-        options_np = jax.tree.map(np.asarray, out["options"])
-        params_np = jax.tree.map(np.asarray, out["params"])
-        state_imgs = np.asarray(out["state_imgs"])
-        option_imgs = np.asarray(out["option_imgs"])
-        grid_imgs = np.asarray(out["grid_img"])
-        perms = np.asarray(out["perm"])
-        correct = np.asarray(out["correct_index"])
+        n = len(chunk)  # slice off batch padding BEFORE device->host transfer
+        states_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["states"])
+        options_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["options"])
+        params_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["params"])
+        state_imgs = np.asarray(out["state_imgs"][:n])
+        option_imgs = np.asarray(out["option_imgs"][:n])
+        grid_imgs = np.asarray(out["grid_img"][:n])
+        perms = np.asarray(out["perm"][:n])
+        correct = np.asarray(out["correct_index"][:n])
 
         if getattr(self, "_dedup", False):
             keep = self._dedup_mask(grid_imgs, len(chunk))
