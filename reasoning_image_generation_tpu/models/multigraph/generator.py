@@ -66,11 +66,18 @@ def _jsonable(obj):
 
 class GeometryGeneratorTPU:
     def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
-                 log_level: str = "INFO", io_workers: int = 8):
+                 log_level: str = "INFO", io_workers: int = 8,
+                 renderer: str = "auto"):
         self.bounds = bounds
         self.global_scale = float(global_scale)
         self._pool = ExportPool(workers=io_workers)
         self.generation_history: List[Dict] = []
+        if renderer == "auto":
+            import jax
+            plat = jax.devices()[0].platform.lower()
+            renderer = ("pallas" if plat in ("tpu", "axon") or
+                        "tpu" in str(jax.devices()[0]).lower() else "jnp")
+        self.renderer = renderer
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -87,7 +94,11 @@ class GeometryGeneratorTPU:
         params_save_paths = params_save_paths or [None] * n
 
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
-        imgs = np.asarray(render_scene_batch(batch, dpi=dpi))
+        if self.renderer == "pallas":
+            from .renderer_pallas import render_scene_batch_pallas
+            imgs = np.asarray(render_scene_batch_pallas(batch, dpi=dpi))
+        else:
+            imgs = np.asarray(render_scene_batch(batch, dpi=dpi))
 
         from .check import check_scene_inside, compute_scene_features
         records = []
