@@ -98,26 +98,25 @@ def state_to_dicts(state: ElementState, kinds=None) -> list:
     """
     from .config import SHAPE_KINDS
     kinds = kinds or SHAPE_KINDS
+    arr = {f: np.asarray(getattr(state, f)) for f in state._fields}
     out = []
-    valid = np.asarray(state.valid)
-    for i in range(valid.shape[-1]):
-        if not valid[i]:
+    for i in range(arr["valid"].shape[-1]):
+        if not arr["valid"][i]:
             continue
         out.append({
-            "kind": kinds[int(np.asarray(state.kind)[i])],
-            "size": int(round(float(np.asarray(state.size)[i]))),
-            "fill": bool(np.asarray(state.fill)[i]),
-            "stroke_width": int(round(float(np.asarray(state.stroke)[i]))),
-            "center": (int(round(float(np.asarray(state.cx)[i]))),
-                       int(round(float(np.asarray(state.cy)[i])))),
-            "angle": float(np.asarray(state.angle)[i]),
-            "bbox": tuple(int(round(v)) for v in np.asarray(state.bbox)[i]),
-            "flip": {"h": bool(np.asarray(state.flip_h)[i]),
-                     "v": bool(np.asarray(state.flip_v)[i])},
+            "kind": kinds[int(arr["kind"][i])],
+            "size": int(round(float(arr["size"][i]))),
+            "fill": bool(arr["fill"][i]),
+            "stroke_width": int(round(float(arr["stroke"][i]))),
+            "center": (int(round(float(arr["cx"][i]))),
+                       int(round(float(arr["cy"][i])))),
+            "angle": float(arr["angle"][i]),
+            "bbox": tuple(int(round(v)) for v in arr["bbox"][i]),
+            "flip": {"h": bool(arr["flip_h"][i]), "v": bool(arr["flip_v"][i])},
             # the reference's color tuple round-trips to the saved file's RGB
             # (BGR canvas + _to_bgr_tuple + BGR imwrite cancel out), so we
             # store it verbatim.
-            "color": tuple(int(round(c)) for c in np.asarray(state.color)[i]),
+            "color": tuple(int(round(c)) for c in arr["color"][i]),
         })
     return out
 
