@@ -46,7 +46,7 @@ def _load():
     return _lib
 
 
-def write_png(path: str, img: np.ndarray, level: int = 3) -> None:
+def write_png(path: str, img: np.ndarray, level: int = 1) -> None:
     img = np.ascontiguousarray(img, np.uint8)
     if img.ndim == 2:
         img = np.repeat(img[..., None], 3, axis=2)

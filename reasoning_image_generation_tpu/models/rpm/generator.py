@@ -153,9 +153,7 @@ class RPMGeneratorTPU:
             out = pipe(keys, use_grid)  # async dispatch
 
             if pending is not None:
-                p_leaf, p_pipe, p_chunk, p_out = pending
-                self._export_batch(p_leaf, p_pipe, p_chunk, p_out, metas)
-                done += len(p_chunk)
+                done += self._flush(pending, metas)
                 if progress:
                     dt = time.time() - t0
                     logger.info("generated %d samples (%.2f samples/s)",
@@ -163,15 +161,31 @@ class RPMGeneratorTPU:
             pending = (leaf, pipe, chunk, out)
 
         if pending is not None:
-            p_leaf, p_pipe, p_chunk, p_out = pending
-            self._export_batch(p_leaf, p_pipe, p_chunk, p_out, metas)
-            done += len(p_chunk)
+            done += self._flush(pending, metas)
             if progress:
                 dt = time.time() - t0
                 logger.info("generated %d samples (%.2f samples/s)",
                             done, done / max(dt, 1e-9))
         self._pool.drain()
         return [metas[i] for i in sorted(metas)]
+
+    def _flush(self, pending, metas) -> int:
+        """Export one batch; failures become per-sample error records in the
+        index instead of aborting the run (reference src/cli.py:25-34)."""
+        import traceback
+        p_leaf, p_pipe, p_chunk, p_out = pending
+        try:
+            self._export_batch(p_leaf, p_pipe, p_chunk, p_out, metas)
+        except Exception as e:
+            tb = traceback.format_exc()
+            logger.error("batch export failed (%s): %s", p_leaf, e)
+            for sid, path, _ug in p_chunk:
+                metas[sid] = {
+                    "index": int(sid), "error": True,
+                    "error_type": str(type(e)), "error_message": str(e),
+                    "traceback": tb,
+                }
+        return len(p_chunk)
 
     def _dedup_mask(self, grid_imgs: np.ndarray, n_real: int) -> np.ndarray:
         """Corpus-level pHash dedup vs everything generated so far.
