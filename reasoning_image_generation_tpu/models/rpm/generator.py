@@ -92,8 +92,13 @@ class RPMGeneratorTPU:
 
     def warmup(self, sample_ids: List[int]) -> None:
         """Compile every pipeline the given ids would use WITHOUT pulling
-        images to the host (no transfer, no export)."""
+        images to the host (no transfer, no export).  Per-leaf compiles are
+        dispatched from a thread pool — compilation dominates and the
+        compile service handles requests concurrently."""
         import jax
+        from concurrent.futures import ThreadPoolExecutor
+
+        jobs = []
         for leaf, entries in self._sample_assignments(sample_ids).items():
             pipe = self._pipeline(leaf)
             B = self.cfg.batch_size
@@ -104,8 +109,15 @@ class RPMGeneratorTPU:
                 use_grid = np.asarray([e[2] for e in chunk] +
                                       [False] * (B - len(ids)))
                 keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
-                out = pipe(keys, use_grid)
-                jax.block_until_ready(out["grid_img"])
+                jobs.append((pipe, keys, use_grid))
+
+        def run(job):
+            pipe, keys, use_grid = job
+            out = pipe(keys, use_grid)
+            jax.block_until_ready(out["grid_img"])
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            list(ex.map(run, jobs))
 
     def generate_ids(self, sample_ids: List[int], progress: bool = False,
                      dedup: bool = False, dedup_threshold: int = 4,
