@@ -83,9 +83,9 @@ def _make_kernel(H: int, Wp: int):
         j = pl.program_id(2)
         y0 = (i * TH).astype(jnp.float32)
         x0 = (j * TW).astype(jnp.float32)
-        px_row = x0 + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1).astype(jnp.float32)
-        px_t = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
-        py_t = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
+        px_row = x0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1).astype(jnp.float32)
+        px_t = x0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
+        py_t = y0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
         racc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
         gacc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
         bacc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
@@ -103,7 +103,7 @@ def _make_kernel(H: int, Wp: int):
             slope = ex / safe_ey
 
             def row(r, _):
-                pyw = y0 + r.astype(jnp.float32)
+                pyw = y0 + 0.5 + r.astype(jnp.float32)
                 pxe = px_row - ax
                 pye = pyw - ay
                 t = jnp.clip((pxe * ex + pye * ey) * inv, 0.0, 1.0)
@@ -146,7 +146,7 @@ def _make_kernel(H: int, Wp: int):
                         slope = ex / safe_ey
 
                         def row(r, _):
-                            pyw = y0 + r.astype(jnp.float32)
+                            pyw = y0 + 0.5 + r.astype(jnp.float32)
                             pxe = px_row - ax
                             pye = pyw - ay
                             t = jnp.clip((pxe * ex + pye * ey) * inv, 0., 1.)
