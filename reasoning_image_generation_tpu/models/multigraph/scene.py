@@ -464,6 +464,36 @@ def add_masks(b: _SceneBuilder, rng: random.Random, verts, mask_type: str):
     return {"has_mask": True, "mask_type": mask_type, "masks": infos}
 
 
+def deform_edge(rng: random.Random, verts: np.ndarray,
+                normal_range: float = 0.18,
+                random_range: float = 0.12) -> np.ndarray:
+    """Midpoint edge deformation (single_variants.py:636-683).
+
+    The reference defines this but ships with the call commented out
+    (generator.py:218-224); provided here as an applied capability: each
+    edge midpoint is displaced either along the edge normal (±0.18) or by a
+    random offset (±0.12), doubling the vertex count."""
+    out = []
+    n = len(verts)
+    for i in range(n):
+        p1 = verts[i]
+        p2 = verts[(i + 1) % n]
+        out.append(p1)
+        mid = (p1 + p2) / 2.0
+        if rng.random() < 0.5:
+            edge = p2 - p1
+            nrm = np.asarray([-edge[1], edge[0]])
+            ln = np.hypot(*nrm)
+            if ln > 1e-8:
+                nrm = nrm / ln
+            mid = mid + nrm * rng.uniform(-normal_range, normal_range)
+        else:
+            mid = mid + np.asarray([rng.uniform(-random_range, random_range),
+                                    rng.uniform(-random_range, random_range)])
+        out.append(mid)
+    return np.asarray(out, np.float32)
+
+
 # ---------------------------------------------------------------------------
 # multi-shape combinators (SDF/grid versions of the shapely searches)
 # ---------------------------------------------------------------------------

@@ -153,3 +153,16 @@ def test_mg_pallas_kernel_parity_on_tpu():
     p = np.asarray(render_scene_batch_pallas(batch, dpi=50))
     j = np.asarray(render_scene_batch(batch, dpi=50))
     assert np.abs(p.astype(int) - j.astype(int)).max() <= 1
+
+
+def test_deform_edge():
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        deform_edge, regular_poly, poly_area)
+    rng = random.Random(0)
+    tri = regular_poly((0, 0), 3, 2.0)[:3]  # raw triangle, 3 verts
+    out = deform_edge(rng, tri)
+    assert len(out) == 6  # midpoint inserted per edge
+    # original vertices preserved at even indices
+    np.testing.assert_allclose(out[0::2], tri, atol=1e-6)
+    # area changed but same ballpark
+    assert 0.5 < poly_area(out) / poly_area(tri) < 1.5
