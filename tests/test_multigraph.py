@@ -159,7 +159,7 @@ def test_deform_edge():
     from reasoning_image_generation_tpu.models.multigraph.scene import (
         deform_edge, regular_poly, poly_area)
     rng = random.Random(0)
-    tri = regular_poly((0, 0), 3, 2.0)[:3]  # raw triangle, 3 verts
+    tri = np.asarray([[0.0, 2.0], [-1.7, -1.0], [1.7, -1.0]], np.float32)
     out = deform_edge(rng, tri)
     assert len(out) == 6  # midpoint inserted per edge
     # original vertices preserved at even indices
