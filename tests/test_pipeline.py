@@ -9,7 +9,9 @@ from reasoning_image_generation_tpu.models.rpm.pipeline import (
 
 @pytest.fixture(scope="module")
 def cfg():
-    return GenConfig(seed=42, batch_size=2)
+    # small canvas: pipeline logic is resolution-independent and the CPU
+    # test mesh renders 16 frames per call
+    return GenConfig(seed=42, batch_size=2, canvas_size=(128, 128))
 
 
 @pytest.mark.parametrize("leaf", RULE_LEAVES)
