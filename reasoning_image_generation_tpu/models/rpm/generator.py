@@ -122,6 +122,7 @@ class RPMGeneratorTPU:
     def generate_ids(self, sample_ids: List[int], progress: bool = False,
                      dedup: bool = False, dedup_threshold: int = 4,
                      resume: bool = False) -> List[dict]:
+        import jax
         metas: Dict[int, dict] = {}
         if resume:
             remaining = []
@@ -163,6 +164,15 @@ class RPMGeneratorTPU:
                                   [False] * (Bp - len(ids)))
             keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
             out = pipe(keys, use_grid)  # async dispatch
+            # slice off the batch padding NOW so the slice ops enqueue right
+            # behind their own batch (not behind the next batch's compute),
+            # and start the device->host copies so transfer of batch k
+            # overlaps compute of batch k+1
+            n_real = len(ids)
+            out = jax.tree.map(lambda a: a[:n_real], out)
+            jax.tree.map(
+                lambda a: getattr(a, "copy_to_host_async", lambda: None)(),
+                out)
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -226,15 +236,15 @@ class RPMGeneratorTPU:
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
-        n = len(chunk)  # slice off batch padding BEFORE device->host transfer
-        states_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["states"])
-        options_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["options"])
-        params_np = jax.tree.map(lambda a: np.asarray(a[:n]), out["params"])
-        state_imgs = np.asarray(out["state_imgs"][:n])
-        option_imgs = np.asarray(out["option_imgs"][:n])
-        grid_imgs = np.asarray(out["grid_img"][:n])
-        perms = np.asarray(out["perm"][:n])
-        correct = np.asarray(out["correct_index"][:n])
+        # arrays were sliced to the real chunk length at dispatch time
+        states_np = jax.tree.map(np.asarray, out["states"])
+        options_np = jax.tree.map(np.asarray, out["options"])
+        params_np = jax.tree.map(np.asarray, out["params"])
+        state_imgs = np.asarray(out["state_imgs"])
+        option_imgs = np.asarray(out["option_imgs"])
+        grid_imgs = np.asarray(out["grid_img"])
+        perms = np.asarray(out["perm"])
+        correct = np.asarray(out["correct_index"])
 
         if getattr(self, "_dedup", False):
             keep = self._dedup_mask(grid_imgs, len(chunk))
