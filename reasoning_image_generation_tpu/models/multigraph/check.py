@@ -24,8 +24,8 @@ from typing import Dict, List
 
 import numpy as np
 
-from .scene import (MAX_SHAPES, BOUNDS, poly_area, poly_centroid,
-                    points_in_poly, overlap_area, poly_min_distance)
+from .scene import (MAX_SHAPES, BOUNDS, poly_area, overlap_area,
+                    poly_min_distance)
 
 
 def check_scene_inside(scene: Dict, bounds=BOUNDS, tol: float = 1e-6,

@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .scene import MAX_SHAPES, MAX_MASKS, MAX_LINES, NV
+from .scene import MAX_SHAPES, MAX_MASKS, MAX_LINES
 
 # figure background: axis('off') hides the axes facecolor patch, so the
 # saved image is the white figure facecolor (reference quirk — the

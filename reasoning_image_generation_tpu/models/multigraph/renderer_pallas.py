@@ -22,7 +22,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .scene import MAX_SHAPES, MAX_MASKS, MAX_LINES, NV
-from .renderer import data_to_pixel_transform, BG
+from .renderer import data_to_pixel_transform
 
 TH = 64
 TW = 256

@@ -25,13 +25,13 @@ import os
 import random
 import time
 from collections import defaultdict
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from ...utils.config import GenConfig, category_leaves
 from ...io.writer import ExportPool, ensure_dir
-from .pipeline import LeafPipeline, sample_keys, seq_len_for
+from .pipeline import LeafPipeline, sample_keys
 from .metadata import build_sample_meta, build_coco
 
 logger = logging.getLogger(__name__)

@@ -20,9 +20,6 @@ src/generator.py:149-177, becomes an order-independent element-hash sum).
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple
-
 import jax
 import jax.numpy as jnp
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...utils.config import KIND_ID
-from ...utils.state import ElementState, empty_state
+from ...utils.state import ElementState
 from .sampler import sample_prototype
 
 CIRCLE = KIND_ID["circle"]
