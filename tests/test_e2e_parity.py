@@ -1,0 +1,77 @@
+# test_e2e_parity.py — full-sample pixel parity via the reference oracle.
+"""Strongest parity check: generate complete samples with OUR pipeline, then
+re-render the SAME element states with the reference's cv2 renderer and
+compose with the reference's layout code.  The two grid images must agree to
+SSIM > 0.97 (AA models differ slightly; geometry and composition must not)."""
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+from .conftest import REFERENCE_SRC, has_reference
+from .oracle import render_reference, ssim
+
+pytestmark = pytest.mark.skipif(not has_reference(), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def sample(tmp_path_factory):
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+    out = str(tmp_path_factory.mktemp("e2e"))
+    # weight to 平移 so exactly one leaf pipeline compiles in CI
+    weights = {"平移": 1.0, "旋转": 0.0, "翻转(镜像)": 0.0, "组合": 0.0,
+               "直接叠加": 0.0, "去同存异": 0.0, "去异存同": 0.0,
+               "单一遍历": 0.0, "位置遍历": 0.0}
+    cfg = GenConfig(out_dir=out, seed=11, batch_size=2,
+                    category_weights=weights)
+    gen = RPMGeneratorTPU(cfg)
+    metas = gen.generate(2)
+    gen.close()
+    return metas, out
+
+
+def test_states_rerendered_by_reference_match(sample):
+    import cv2
+    metas, out = sample
+    m = metas[0]
+    ug = m["sequence"][1]["rule_info"]["use_grid"]
+    for t, seq in enumerate(m["sequence"]):
+        ours = cv2.imread(seq["state_path"])[..., ::-1]
+        ref = render_reference(seq["elements"], use_grid=bool(ug))
+        s = ssim(ours, ref)
+        assert s > 0.97, f"state {t}: ssim={s:.4f}"
+
+
+def test_full_grid_rerendered_by_reference_matches(sample):
+    import cv2
+    metas, out = sample
+    m = metas[0]
+    ug = m["sequence"][1]["rule_info"]["use_grid"]
+
+    p = str(REFERENCE_SRC)
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    import layout as ref_layout
+
+    states = []
+    for seq in m["sequence"][:-1]:
+        img = render_reference(seq["elements"], use_grid=bool(ug))
+        states.append({"state_img": img[..., ::-1].copy(), "state_path": None})
+    candidates = []
+    for opt in m["options"]:
+        img = render_reference(opt["elements"], use_grid=bool(ug))
+        candidates.append({"img": img[..., ::-1].copy(), "path": None,
+                           "is_correct": opt["is_correct"]})
+    grid_im, *_ = ref_layout.compose_grid(
+        W=512, H=512, states=states, candidates=candidates,
+        sample_dir=out, num_options=4, margin=20, padding_v=20,
+        show_labels=True, show_border=True)
+    ref_grid = grid_im[..., ::-1]
+
+    ours = cv2.imread(m["grid_path"])[..., ::-1]
+    assert ours.shape == ref_grid.shape
+    s = ssim(ours, ref_grid)
+    assert s > 0.97, f"grid ssim={s:.4f}"
