@@ -37,6 +37,29 @@ from .metadata import build_sample_meta, build_coco
 logger = logging.getLogger(__name__)
 
 
+def _unpack_images(packed, raw_dev) -> np.ndarray:
+    """Reconstruct a frame tensor from the sparse codec (ops/sparse.py);
+    frames over budget fall back to fetching the raw device frame."""
+    from ...ops.sparse import unpack_frame
+    mask, vals, count = (np.asarray(packed[0]), np.asarray(packed[1]),
+                         np.asarray(packed[2]))
+    shape = raw_dev.shape  # [..., H, W, 3]
+    H, W = shape[-3], shape[-2]
+    lead = shape[:-3]
+    out = np.empty(shape, np.uint8)
+    m2 = mask.reshape((-1,) + mask.shape[len(lead):])
+    v2 = vals.reshape((-1,) + vals.shape[len(lead):])
+    c2 = count.reshape(-1)
+    flat_raw = raw_dev.reshape((-1,) + shape[-3:])
+    o2 = out.reshape((-1,) + shape[-3:])
+    for i in range(o2.shape[0]):
+        try:
+            o2[i] = unpack_frame(m2[i], v2[i], int(c2[i]), (H, W))
+        except OverflowError:
+            o2[i] = np.asarray(flat_raw[i])
+    return out
+
+
 class RPMGeneratorTPU:
     def __init__(self, config: GenConfig, show_labels: bool = True,
                  show_border: bool = True, io_workers: int = 8,
@@ -170,9 +193,17 @@ class RPMGeneratorTPU:
             # overlaps compute of batch k+1
             n_real = len(ids)
             out = jax.tree.map(lambda a: a[:n_real], out)
-            jax.tree.map(
-                lambda a: getattr(a, "copy_to_host_async", lambda: None)(),
-                out)
+            # start async host copies for everything EXCEPT raw frames when
+            # the sparse codec carries them (raw stays device-resident as
+            # the overflow fallback)
+            sparse = "state_imgs_packed" in out
+            skip = {"state_imgs", "option_imgs", "grid_img"} if sparse else set()
+            for k, v in out.items():
+                if k in skip:
+                    continue
+                jax.tree.map(
+                    lambda a: getattr(a, "copy_to_host_async", lambda: None)(),
+                    v)
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -209,15 +240,14 @@ class RPMGeneratorTPU:
                 }
         return len(p_chunk)
 
-    def _dedup_mask(self, grid_imgs: np.ndarray, n_real: int) -> np.ndarray:
+    def _dedup_mask(self, hashes: np.ndarray, n_real: int) -> np.ndarray:
         """Corpus-level pHash dedup vs everything generated so far.
 
         Realizes the reference README's claimed semantic-duplicate filter
-        (reference README.md:8) with the on-device hash kernel: batch pHashes
-        on device, 8-byte hashes compared against the running corpus on host.
-        Returns keep mask [n_real]."""
-        from ...ops.phash import phash_batch
-        hashes = np.asarray(phash_batch(grid_imgs[:n_real]))
+        (reference README.md:8): pHashes are computed on device inside the
+        pipeline (8 bytes/sample cross the link) and compared against the
+        running corpus on host.  Returns keep mask [n_real]."""
+        hashes = np.asarray(hashes)[:n_real]
         keep = np.ones(n_real, bool)
         corpus = self._corpus_hashes
         for i in range(n_real):
@@ -240,14 +270,22 @@ class RPMGeneratorTPU:
         states_np = jax.tree.map(np.asarray, out["states"])
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
-        state_imgs = np.asarray(out["state_imgs"])
-        option_imgs = np.asarray(out["option_imgs"])
-        grid_imgs = np.asarray(out["grid_img"])
+        if "state_imgs_packed" in out:
+            state_imgs = _unpack_images(out["state_imgs_packed"],
+                                        out["state_imgs"])
+            option_imgs = _unpack_images(out["option_imgs_packed"],
+                                         out["option_imgs"])
+            grid_imgs = _unpack_images(out["grid_img_packed"],
+                                       out["grid_img"])
+        else:
+            state_imgs = np.asarray(out["state_imgs"])
+            option_imgs = np.asarray(out["option_imgs"])
+            grid_imgs = np.asarray(out["grid_img"])
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
         if getattr(self, "_dedup", False):
-            keep = self._dedup_mask(grid_imgs, len(chunk))
+            keep = self._dedup_mask(np.asarray(out["grid_phash"]), len(chunk))
         else:
             keep = np.ones(len(chunk), bool)
 

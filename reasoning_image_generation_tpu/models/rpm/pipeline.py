@@ -27,6 +27,8 @@ from ...utils.config import GenConfig, OVERLAY_LEAVES, KIND_ID
 from ...utils.state import ElementState
 from ...ops.raster import render_frame
 from ...ops.compose import GridLayout, build_layout, compose_grid
+from ...ops.phash import phash
+from ...ops.sparse import pack_batch
 from .sampler import sample_prototype
 from .rules import RULES, pack_state, concat_states
 
@@ -261,6 +263,17 @@ class LeafPipeline:
             grids = jax.vmap(lambda s, o: compose_grid(layout, s[:L - 1], o))(
                 out["state_imgs"], out["option_imgs"])
             out["grid_img"] = grids
+            # grid pHash for corpus dedup — on device, no image round-trip
+            out["grid_phash"] = jax.vmap(phash)(grids)
+            # sparse transfer codec: pack frames on device so exports move
+            # ~3-4x fewer bytes over the host link (ops/sparse.py); raw
+            # frames stay device-resident for the rare overflow fallback
+            if getattr(cfg, "sparse_transfer", True):
+                budget = int(W * H * getattr(cfg, "sparse_budget", 0.4))
+                gb = int(layout.grid_h * W * getattr(cfg, "sparse_budget", 0.4))
+                out["state_imgs_packed"] = pack_batch(out["state_imgs"], budget)
+                out["option_imgs_packed"] = pack_batch(out["option_imgs"], budget)
+                out["grid_img_packed"] = pack_batch(grids, gb)
             return out
 
         self._batch_fn = jax.jit(batch_fn)

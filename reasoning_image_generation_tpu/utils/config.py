@@ -96,6 +96,12 @@ class GenConfig:
     # rasterizer backend: 'auto' picks the Pallas TPU kernel on TPU
     # (18x the XLA path; ops/raster_pallas.py) and the jnp path elsewhere
     renderer: str = "auto"
+    # sparse device->host transfer codec (ops/sparse.py): pack frames to a
+    # 1-bit mask + non-background values; ~3-4x fewer bytes on the link
+    sparse_transfer: bool = True
+    # non-background pixel budget as a fraction of the canvas; frames above
+    # it fall back to a raw transfer
+    sparse_budget: float = 0.4
 
 
 def category_leaves(categories: Dict[str, Any]) -> list:
