@@ -269,8 +269,10 @@ class LeafPipeline:
             # ~3-4x fewer bytes over the host link (ops/sparse.py); raw
             # frames stay device-resident for the rare overflow fallback
             if getattr(cfg, "sparse_transfer", True):
-                budget = int(W * H * getattr(cfg, "sparse_budget", 0.4))
-                gb = int(layout.grid_h * W * getattr(cfg, "sparse_budget", 0.4))
+                from ...ops.sparse import n_blocks
+                frac = getattr(cfg, "sparse_budget", 0.5)
+                budget = int(n_blocks(H, W) * frac)
+                gb = int(n_blocks(layout.grid_h, W) * frac)
                 out["state_imgs_packed"] = pack_batch(out["state_imgs"], budget)
                 out["option_imgs_packed"] = pack_batch(out["option_imgs"], budget)
                 out["grid_img_packed"] = pack_batch(grids, gb)

@@ -97,11 +97,11 @@ class GenConfig:
     # (18x the XLA path; ops/raster_pallas.py) and the jnp path elsewhere
     renderer: str = "auto"
     # sparse device->host transfer codec (ops/sparse.py): pack frames to a
-    # 1-bit mask + non-background values; ~3-4x fewer bytes on the link
+    # 1-bit block mask + non-background 8x8 blocks; ~2-3x fewer bytes
     sparse_transfer: bool = True
-    # non-background pixel budget as a fraction of the canvas; frames above
+    # non-background block budget as a fraction of the canvas; frames above
     # it fall back to a raw transfer
-    sparse_budget: float = 0.4
+    sparse_budget: float = 0.5
 
 
 def category_leaves(categories: Dict[str, Any]) -> list:

@@ -18,7 +18,7 @@ def _img(seed=0, cover=0.15, H=64, W=64):
 
 def test_roundtrip_exact():
     img = _img(0)
-    budget = 64 * 64 // 2
+    budget = 64  # all 64 blocks of a 64x64 frame
     mask, vals, count = pack_frame(jnp.asarray(img), budget)
     back = unpack_frame(np.asarray(mask), np.asarray(vals), int(count),
                         (64, 64))
@@ -27,7 +27,7 @@ def test_roundtrip_exact():
 
 def test_roundtrip_all_background():
     img = np.full((32, 32, 3), 255, np.uint8)
-    mask, vals, count = pack_frame(jnp.asarray(img), 128)
+    mask, vals, count = pack_frame(jnp.asarray(img), 16)
     assert int(count) == 0
     back = unpack_frame(np.asarray(mask), np.asarray(vals), 0, (32, 32))
     np.testing.assert_array_equal(back, img)
@@ -35,7 +35,7 @@ def test_roundtrip_all_background():
 
 def test_overflow_detected():
     img = _img(1, cover=0.9)
-    budget = 100  # far below population
+    budget = 5  # far below the nonempty-block population
     mask, vals, count = pack_frame(jnp.asarray(img), budget)
     assert int(count) > budget
     try:
@@ -48,7 +48,7 @@ def test_overflow_detected():
 def test_pack_batch_leading_dims():
     imgs = np.stack([np.stack([_img(i * 2 + j) for j in range(3)])
                      for i in range(2)])  # [2, 3, H, W, 3]
-    mask, vals, count = pack_batch(jnp.asarray(imgs), 64 * 64 // 2)
+    mask, vals, count = pack_batch(jnp.asarray(imgs), 64)
     assert mask.shape[:2] == (2, 3) and vals.shape[:2] == (2, 3)
     for i in range(2):
         for j in range(3):
