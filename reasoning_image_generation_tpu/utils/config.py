@@ -97,8 +97,10 @@ class GenConfig:
     # (18x the XLA path; ops/raster_pallas.py) and the jnp path elsewhere
     renderer: str = "auto"
     # sparse device->host transfer codec (ops/sparse.py): pack frames to a
-    # 1-bit block mask + non-background 8x8 blocks; ~2-3x fewer bytes
-    sparse_transfer: bool = True
+    # 1-bit block mask + non-background 8x8 blocks; ~2x fewer bytes on the
+    # link at ~40% extra device time — enable when the host link (not the
+    # chip) is the bottleneck
+    sparse_transfer: bool = False
     # non-background block budget as a fraction of the canvas; frames above
     # it fall back to a raw transfer
     sparse_budget: float = 0.5
