@@ -33,7 +33,10 @@ from .sampler import sample_prototype
 from .rules import RULES, pack_state, concat_states
 
 CIRCLE = KIND_ID["circle"]
-N_CANDIDATES = 6  # parallel distractor candidates per option slot
+# parallel distractor candidates per option slot; the first candidate is
+# almost always structurally unique (fresh random params), so 4 covers the
+# reference's <=20-retry budget in practice (src/generator.py:444-481)
+N_CANDIDATES = 4
 
 
 def seq_len_for(leaf: str) -> int:
