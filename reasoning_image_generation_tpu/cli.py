@@ -73,8 +73,10 @@ def main(argv=None):
         # sequential 3-sample smoke test with fixed seed (the reference's
         # --test asserts a stale path layout, src/cli.py:66-70; we assert the
         # layout actually written)
+        # batch_size 32 reuses the standard compiled program shapes (a
+        # bespoke batch-3 shape would cost a fresh ~minutes compile)
         cfg = GenConfig(out_dir="./out_test", grid_size=3, seed=42,
-                        batch_size=3)
+                        batch_size=32)
         gen = RPMGeneratorTPU(cfg)
         metas = gen.generate(3)
         gen.close()
