@@ -41,6 +41,10 @@ def parse_args(argv=None):
                    help="skip sample ids whose meta.json already exists")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="jax.profiler trace output directory")
+    p.add_argument("--no_labels", action="store_true",
+                   help="omit S0../A-D cell labels on the grids")
+    p.add_argument("--no_border", action="store_true",
+                   help="omit the 1px cell borders on the grids")
     return p.parse_args(argv)
 
 
@@ -92,7 +96,9 @@ def main(argv=None):
                     batch_size=args.batch_size)
     workers = args.workers if args.workers is not None else 8
     gen = RPMGeneratorTPU(cfg, io_workers=max(1, workers),
-                          use_threads=workers != 0)
+                          use_threads=workers != 0,
+                          show_labels=not args.no_labels,
+                          show_border=not args.no_border)
     t0 = time.time()
     print(f"Start generating {args.n} samples -> {args.out_dir} "
           f"(batch={args.batch_size}, seed={args.seed})")

@@ -100,6 +100,44 @@ class RPMGeneratorTPU:
                                  dedup=dedup, dedup_threshold=dedup_threshold,
                                  resume=resume)
 
+    def generate_sample(self, sample_id: int, category_path=None,
+                        show_labels: bool = True, show_border: bool = True):
+        """Reference-API single-sample entry
+        (reference src/generator.py:210): returns the meta dict, or None on
+        failure.  `category_path` pins the rule leaf; labels/borders follow
+        the generator's construction-time settings (they are baked into the
+        compiled layout overlay).
+
+        Batched `generate()`/`generate_ids()` are the production path —
+        this exists so reference callers can switch without code changes."""
+        if category_path is not None:
+            leaf = category_path[-1]
+            sid = sample_id
+            rng = random.Random((self.cfg.seed or 0) + sid)
+            # consume the leaf draw like _sample_assignments, then force it
+            rng.choices(self._leaves, k=1)
+            use_grid = rng.choice([False, True])
+            groups = {leaf: [(sid, list(category_path), use_grid)]}
+            metas: Dict[int, dict] = {}
+            work = list(groups.items())
+            pipe = self._pipeline(leaf)
+            entry = work[0][1]
+            import jax
+            ids = [entry[0][0]]
+            B = self.cfg.batch_size
+            pad_ids = ids + [ids[-1]] * (B - 1)
+            ug = np.asarray([entry[0][2]] + [False] * (B - 1))
+            keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
+            out = pipe(keys, ug)
+            out = jax.tree.map(lambda a: a[:1], out)
+            self._flush((leaf, pipe, entry, out), metas)
+            self._pool.drain()
+            meta = metas.get(sample_id)
+            return None if (meta and meta.get("error")) else meta
+        metas = self.generate_ids([sample_id])
+        meta = metas[0] if metas else None
+        return None if (meta and meta.get("error")) else meta
+
     def _load_existing_meta(self, sid: int):
         """Resume support: outputs are idempotent by sample id
         (SURVEY.md §5.4); a sample with an existing meta.json is reused."""

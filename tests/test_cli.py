@@ -29,3 +29,20 @@ def test_mg_cli_generate_all(tmp_path, monkeypatch):
     rec = json.load(open(os.path.join("output/params", params[0])))
     assert rec["mode"] == "adjacent"
     assert "qc" in rec and "shapes" in rec
+
+
+def test_generate_sample_reference_api(tmp_path):
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+    cfg = GenConfig(out_dir=str(tmp_path), seed=9, batch_size=2,
+                    canvas_size=(128, 128))
+    gen = RPMGeneratorTPU(cfg)
+    meta = gen.generate_sample(0)
+    assert meta is not None and meta["id"] == 0
+    assert os.path.exists(meta["grid_path"])
+    # pinned category path
+    meta2 = gen.generate_sample(1, category_path=["图形相似", "位置变换", "平移"])
+    gen.close()
+    assert meta2["rule"] == "平移"
+    assert meta2["category_path"] == ["图形相似", "位置变换", "平移"]
+    assert os.path.exists(os.path.join(meta2["sample_dir"], "meta.json"))
