@@ -89,9 +89,16 @@ def serialize_rule_info(leaf: str, params, step_idx: int, use_grid: bool,
             else:
                 param = {"mode": _FLIP_MODES[int(_np(p.flip_mode))]}
             elem_op_map[str(e)] = {"op_type": o, "op_param": param}
+        def _param_of(op_name):
+            return next((v["op_param"] for v in elem_op_map.values()
+                         if v["op_type"] == op_name), None)
+
         return {"transform_many": {
             "target_indices": [int(e) for e in np.nonzero(active)[0]],
             "elem_op_map": elem_op_map,
+            "translate_param": _param_of("translate"),
+            "rotate_param": _param_of("rotate"),
+            "flip_param": _param_of("flip"),
             "valid_ops": [v["op_type"] for v in elem_op_map.values()],
         }}
     if leaf in ("直接叠加", "去同存异", "去异存同"):
@@ -102,19 +109,88 @@ def serialize_rule_info(leaf: str, params, step_idx: int, use_grid: bool,
             op = "diff_keep" if is_merge else "replace_some_in_last_frame"
         else:
             op = "diff_keep_intersection" if is_merge else "replace_some_in_last_frame"
-        return {"op": op, "seed": None, "frame_count": int(step_idx)}
+        info = {"op": op, "seed": None, "frame_count": int(step_idx)}
+        if is_merge and leaf in ("去同存异", "去异存同"):
+            # reconstruct the kept/removed index bookkeeping the reference
+            # records (src/rules.py:1435-1439, 1632-1636) from the two input
+            # frames, using the identical same-element test
+            kept, removed = _diff_indices(states, step_idx)
+            info["kept_idx_in_last"] = kept
+            info["removed_idx_in_last"] = removed
+            info["num_kept"] = len(kept)
+            info["num_removed"] = len(removed)
+        return info
     if leaf == "单一遍历":
         p: TraverseSeqParams = params
         n = int(_np(p.seq_len))
         seq = [SHAPE_KINDS[int(k)] for k in _np(p.seq)[:n]]
-        return {"sequence": seq, "step_idx": int(step_idx) % n, "done": False}
+        info = {"sequence": seq, "step_idx": int(step_idx) % n, "done": False}
+        # last_modified log (reference src/rules.py:871-877)
+        kinds = _np(states.kind)
+        cx, cy = _np(states.cx), _np(states.cy)
+        bbox = _np(states.bbox)
+        info["last_modified"] = [{
+            "element_index": e,
+            "from_kind": SHAPE_KINDS[int(kinds[step_idx - 1, e])],
+            "to_kind": SHAPE_KINDS[int(kinds[step_idx, e])],
+            "center": [float(cx[step_idx, e]), float(cy[step_idx, e])],
+            "bbox": [float(v) for v in bbox[step_idx, e]],
+        } for e in range(2)]
+        return info
     if leaf == "位置遍历":
         p: TraversePosParams = params
         n = int(_np(p.pos_len))
         pos = [[float(a), float(b)] for a, b in _np(p.pos)[:n]]
+        cx, cy = _np(states.cx), _np(states.cy)
         return {"positions_sequence": pos, "step_idx": int(step_idx),
-                "done": False}
+                "done": False,
+                "last_modified": [{
+                    "step_idx": int(step_idx),
+                    "original_center": [[float(cx[step_idx - 1, e]),
+                                         float(cy[step_idx - 1, e])]
+                                        for e in range(2)],
+                    "new_centers": [[float(cx[step_idx, e]),
+                                     float(cy[step_idx, e])]
+                                    for e in range(2)],
+                    "elements_count": 2,
+                }]}
     return {"handler": HANDLER_NAMES.get(leaf, leaf)}
+
+
+def _diff_indices(states: ElementState, step_idx: int,
+                  iou_thresh=0.5, size_rel=0.2, angle_deg=5.0):
+    """Same-element matching of frames step_idx-1 vs step_idx-2 with the
+    reference's kind ∧ IoU ∧ size ∧ angle test (src/rules.py:1364-1433)."""
+    valid = _np(states.valid)
+    kind = _np(states.kind)
+    size = _np(states.size)
+    angle = _np(states.angle)
+    bbox = _np(states.bbox)
+    last, prev = step_idx - 1, step_idx - 2
+    kept, removed = [], []
+    for i in range(valid.shape[1]):
+        if not valid[last, i]:
+            continue
+        same = False
+        for j in range(valid.shape[1]):
+            if not valid[prev, j] or kind[last, i] != kind[prev, j]:
+                continue
+            b1, b2 = bbox[last, i], bbox[prev, j]
+            x1 = max(b1[0], b2[0])
+            y1 = max(b1[1], b2[1])
+            x2 = min(b1[0] + b1[2], b2[0] + b2[2])
+            y2 = min(b1[1] + b1[3], b2[1] + b2[3])
+            inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+            union = b1[2] * b1[3] + b2[2] * b2[3] - inter
+            iou = inter / union if union > 0 else 0.0
+            smax = max(size[last, i], size[prev, j])
+            srel = abs(size[last, i] - size[prev, j]) / smax if smax > 0 else 0.0
+            adiff = abs(((angle[last, i] - angle[prev, j] + 180) % 360) - 180)
+            if iou >= iou_thresh and srel <= size_rel and adiff <= angle_deg:
+                same = True
+                break
+        (kept if same else removed).append(i)
+    return kept, removed
 
 
 def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
