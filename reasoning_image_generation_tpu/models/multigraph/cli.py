@@ -18,7 +18,10 @@ import time
 def generate_all(num_samples: int = 100, out_dir: str = "output",
                  global_scale: float = 1.3, dpi: int = 200,
                  mode_choices=("adjacent",), batch_size: int = 16,
-                 seed0: int = 0):
+                 seed0: int = 0, use_multiprocessing: bool = True):
+    # use_multiprocessing is accepted for reference-signature compatibility
+    # (multigraph_generation/cli.py:30); device batching supersedes it
+    del use_multiprocessing
     from .generator import GeometryGeneratorTPU
 
     # pre-sample modes like the reference (multigraph_generation/cli.py:41-42)

@@ -52,6 +52,18 @@ def _shape_params_dict(meta: Dict) -> Dict:
     return _jsonable(out)
 
 
+class GenerationRecord(dict):
+    """Dict with attribute access: JSON-serializable like our records,
+    attribute-addressable like the reference's dataclass
+    (multigraph_generation/generator.py:43-53)."""
+
+    def __getattr__(self, name):
+        try:
+            return self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+
+
 def _jsonable(obj):
     if isinstance(obj, dict):
         return {k: _jsonable(v) for k, v in obj.items()}
@@ -105,7 +117,7 @@ class GeometryGeneratorTPU:
         for i in range(n):
             scene_i = {k: v[i] for k, v in batch.items()}
             qc = check_scene_inside(scene_i, self.bounds, dpi=dpi)
-            rec = {
+            rec = GenerationRecord({
                 "generation_id": str(uuid.uuid4()),
                 "timestamp": datetime.now().isoformat(),
                 "seed": int(seeds[i]),
@@ -117,7 +129,7 @@ class GeometryGeneratorTPU:
                 # render-time QC (reference multigraph_generation/check.py:82,
                 # printed at generator.py:554-563; recorded here instead)
                 "qc": qc,
-            }
+            })
             if metas[i]["shape_count"] > 1:
                 # pairwise tangency/crossing features — the reference's
                 # compute_geos_features (multi_combinator.py:114-533) dies on
