@@ -283,7 +283,7 @@ class TransformManyParams(NamedTuple):
 
 
 def init_transform_many(key, init_state, use_grid, W, H, grid_size=3):
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 10)
     n = jnp.maximum(1, init_state.count())
     max_select = jnp.minimum(3, n)
     count = jax.random.randint(ks[0], (), 1, max_select + 1)
@@ -304,10 +304,10 @@ def init_transform_many(key, init_state, use_grid, W, H, grid_size=3):
 
     steps = jnp.asarray([-2, -1, 1, 2])
     grid_dist = steps[jax.random.randint(ks[6], (), 0, 4)]
-    grid_is_h = jax.random.bernoulli(ks[0])  # reuse is fine: independent dims
-    flip_mode = jax.random.randint(ks[1], (), 0, 3)
+    grid_is_h = jax.random.bernoulli(ks[7])
+    flip_mode = jax.random.randint(ks[8], (), 0, 3)
     rot_delta = jnp.asarray([45., 90., 135., 180., 225., 270., 315.])[
-        jax.random.randint(ks[2], (), 0, 7)]
+        jax.random.randint(ks[9], (), 0, 7)]
     return TransformManyParams(active, op, dx, dy, grid_dist, grid_is_h,
                                flip_mode, rot_delta)
 
