@@ -68,6 +68,8 @@ def write_png(path: str, img: np.ndarray) -> None:
             _BACKEND = ("cv2", cv) if cv is not None else ("zlib", None)
     name, mod = _BACKEND
     img = np.ascontiguousarray(img, np.uint8)
+    if img.ndim == 2:  # normalize grayscale BEFORE any channel flip
+        img = np.repeat(img[..., None], 3, axis=2)
     if name == "fastpng":
         mod.write_png(path, img)
     elif name == "cv2":
