@@ -128,14 +128,19 @@ def _over(canvas, color, alpha):
 
 def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
                       cx, cy, angle, flip_h, flip_v, color, valid,
-                      soft_blur: float = 0.0):
+                      soft_blur: float = 0.0, outline_color=None):
     """Draw one element onto the canvas (f32 [H, W, 3], 0-255).
 
     soft_blur > 0 reproduces the reference's 'soft' antialias mode: the
     polygon fill mask is Gaussian-blurred before compositing
     (reference src/shapes.py:58-69); modeled as a linear alpha ramp of
-    comparable width on the SDF."""
-    outline = jnp.zeros(3, jnp.float32)  # black outline (reference generator.py:106)
+    comparable width on the SDF.
+
+    outline_color defaults to black, the pipeline's choice
+    (reference src/generator.py:106); Shape.draw exposes it as a
+    parameter (reference src/shapes.py:209)."""
+    outline = (jnp.zeros(3, jnp.float32) if outline_color is None
+               else jnp.asarray(outline_color, jnp.float32))
     half = size * 0.5
     stroke_w = jnp.maximum(1.0, jnp.round(stroke))
 
