@@ -229,10 +229,8 @@ class LeafPipeline:
         if backend == "auto":
             plat = jax.devices()[0].platform.lower()
             on_tpu = plat in ("tpu", "axon") or "tpu" in str(jax.devices()[0]).lower()
-            # the Mosaic kernel needs W and H divisible by its tile shape
-            from ...ops import raster_pallas as _rp
-            tiled_ok = (H % _rp.TH == 0) and (W % _rp.TW == 0)
-            backend = "pallas" if (on_tpu and tiled_ok) else "jnp"
+            # the Mosaic kernel pads any W/H up to its tile grid and crops
+            backend = "pallas" if on_tpu else "jnp"
         use_pallas = backend == "pallas"
 
         def batch_fn(keys, use_grid):

@@ -32,8 +32,12 @@ ANGLE_CHOICES = jnp.asarray([0.0, 45.0, 90.0, 135.0, 180.0])
 
 def sample_prototype(key, W: int, H: int, max_elems: int,
                      n=None, use_grid=False, grid_size: int = 3,
-                     cell_jitter_frac: float = 0.2) -> ElementState:
-    """Sample one prototype frame.  `n` and `use_grid` may be traced."""
+                     cell_jitter_frac: float = 0.2,
+                     arrangement: str = "random") -> ElementState:
+    """Sample one prototype frame.  `n` and `use_grid` may be traced;
+    `arrangement` is static: 'random' | 'horizontal' | 'vertical' |
+    'diagonal' | 'circular' (reference src/sample.py:90-146; the reference
+    pipeline itself only ever samples 'random', src/sample.py:46-47)."""
     k_n, k_cells, k_kind, k_fill, k_stroke, k_angle, k_color, \
         k_gj, k_size, k_pos, k_pj = jax.random.split(key, 11)
 
@@ -74,8 +78,36 @@ def sample_prototype(key, W: int, H: int, max_elems: int,
     r_cy = jnp.floor(lo + u[:, 1] * (hi_y - lo + 1))
     pj = jnp.minimum(r_size // 4, 10)
     pj_draw = jnp.floor(jax.random.uniform(k_pj, (E, 2)) * (2 * pj[:, None] + 1)) - pj[:, None]
-    r_cx = jnp.clip(r_cx + pj_draw[:, 0], lo, hi_x)
-    r_cy = jnp.clip(r_cy + pj_draw[:, 1], lo, hi_y)
+    if arrangement == "random":
+        r_cx = jnp.clip(r_cx + pj_draw[:, 0], lo, hi_x)
+        r_cy = jnp.clip(r_cy + pj_draw[:, 1], lo, hi_y)
+    else:
+        # deterministic layouts (reference src/sample.py:86-146): evenly
+        # spaced along a line / circle, then the same jitter + clamp as the
+        # random branch (src/sample.py:174-183)
+        margin = jnp.max(jnp.where(valid, r_size, 0.0)) // 2 + 10
+        i = slot.astype(jnp.float32)
+        nm1 = jnp.maximum(n - 1, 1).astype(jnp.float32)
+        sx = (W - 2 * margin) / nm1
+        sy = (H - 2 * margin) / nm1
+        if arrangement == "horizontal":
+            ax, ay = jnp.floor(margin + i * sx), jnp.full((E,), float(H // 2))
+        elif arrangement == "vertical":
+            ax, ay = jnp.full((E,), float(W // 2)), jnp.floor(margin + i * sy)
+        elif arrangement == "diagonal":
+            ax, ay = jnp.floor(margin + i * sx), jnp.floor(margin + i * sy)
+        elif arrangement == "circular":
+            rad = min(W, H) // 4
+            th = 2.0 * jnp.pi * i / jnp.maximum(n, 1).astype(jnp.float32)
+            ax = jnp.floor(W // 2 + rad * jnp.cos(th))
+            ay = jnp.floor(H // 2 + rad * jnp.sin(th))
+        else:
+            raise ValueError(f"unknown arrangement {arrangement!r}")
+        if arrangement != "circular":  # single element centers (ref :92-95)
+            ax = jnp.where(n == 1, float(W // 2), ax)
+            ay = jnp.where(n == 1, float(H // 2), ay)
+        r_cx = jnp.clip(ax + pj_draw[:, 0], lo, hi_x)
+        r_cy = jnp.clip(ay + pj_draw[:, 1], lo, hi_y)
 
     use_grid = jnp.asarray(use_grid)
     cx = jnp.where(use_grid, g_cx, r_cx)

@@ -24,8 +24,22 @@ import numpy as np
 
 
 def load_external_image(obj) -> np.ndarray:
-    """Normalize path / PIL image / ndarray to RGBA u8 (host side)."""
+    """Normalize path / PIL image / ndarray to RGBA u8 (host side).
+
+    SVG paths rasterize through cairosvg when installed, mirroring the
+    reference's optional dependency (reference src/shapes.py:96-104)."""
     if isinstance(obj, str):
+        if obj.lower().endswith(".svg"):
+            try:
+                import cairosvg
+                from io import BytesIO
+                from PIL import Image
+                png = cairosvg.svg2png(url=obj)
+                return np.asarray(Image.open(BytesIO(png)).convert("RGBA"))
+            except ImportError as e:
+                raise RuntimeError(
+                    "cairosvg (and PIL) are required to rasterize SVG "
+                    "files; provide PNG/JPG instead") from e
         try:
             from PIL import Image
             img = np.asarray(Image.open(obj).convert("RGBA"))

@@ -250,9 +250,16 @@ def render_batch_pallas(states: ElementState, W: int, H: int, use_grid,
     """Render a batch of frames -> u8 [N, H, W, 3].
 
     states: ElementState with leading batch dim N; use_grid: bool [N].
+
+    Any W/H is supported: the tile grid covers ceil-padded dims while the
+    kernel keeps the TRUE W/H for its wrap metric / grid lines / culling,
+    so padded pixels just render wrapped duplicates and are cropped off.
+    (Matches the reference's arbitrary canvas_size, src/config.py:27.)
     """
     N = states.kind.shape[0]
     E = states.kind.shape[1]
+    Hp = -(-H // TH) * TH
+    Wp = -(-W // TW) * TW
     use_grid = jnp.asarray(use_grid)
     meta, vxs, vys = jax.vmap(
         lambda s, g: prepare_render_data(s, W, H, g, grid_size)
@@ -263,7 +270,7 @@ def render_batch_pallas(states: ElementState, W: int, H: int, use_grid,
     kernel = _make_kernel(E, W, H, grid_size)
     out = pl.pallas_call(
         kernel,
-        grid=(N, H // TH, W // TW),
+        grid=(N, Hp // TH, Wp // TW),
         in_specs=[
             pl.BlockSpec((1, 1, 2), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -273,8 +280,8 @@ def render_batch_pallas(states: ElementState, W: int, H: int, use_grid,
             pl.BlockSpec((1, E, 2, G.MAX_VERTS), lambda n, i, j: (n, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 3, TH, TW), lambda n, i, j: (n, 0, i, j)),
-        out_shape=jax.ShapeDtypeStruct((N, 3, H, W), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((N, 3, Hp, Wp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((TH, TW), jnp.float32) for _ in range(5)],
         interpret=interpret,
     )(samp, meta, vxs, vys)
-    return jnp.transpose(out, (0, 2, 3, 1))
+    return jnp.transpose(out[:, :, :H, :W], (0, 2, 3, 1))

@@ -65,3 +65,23 @@ def test_kernel_bit_parity_all_kinds():
         ref = np.asarray(render_frame(
             jax.tree.map(lambda a: a[i], batch), 512, 512))
         assert (imgs_p[i] == ref).all(), kind
+
+
+@pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs a TPU")
+def test_kernel_bit_parity_untiled_size():
+    """Canvas sizes not divisible by the tile shape pad+crop (400x200),
+    including wrap-around content near the true edge."""
+    import jax.numpy as jnp
+    from reasoning_image_generation_tpu.ops.raster import render_frame
+    from reasoning_image_generation_tpu.ops.raster_pallas import render_batch_pallas
+
+    els = [_elem("hexagon", 90, (380, 100), angle=30.0),   # wraps over x=400
+           _elem("heart", 70, (40, 180), color=(30, 160, 60))]
+    st = dicts_to_state(els, 8)
+    batch = jax.tree.map(lambda a: a[None], st)
+    for ug in (False, True):
+        got = np.asarray(render_batch_pallas(
+            batch, 400, 200, np.array([ug])))[0]
+        ref = np.asarray(render_frame(st, 400, 200, use_grid=ug))
+        assert got.shape == (200, 400, 3)
+        assert (got == ref).all(), f"use_grid={ug}"

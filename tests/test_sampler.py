@@ -79,3 +79,39 @@ def test_bbox_clipped_to_canvas():
     assert (bbox[:, 0] >= 0).all() and (bbox[:, 1] >= 0).all()
     assert (bbox[:, 0] + bbox[:, 2] <= W + 0.5).all()
     assert (bbox[:, 1] + bbox[:, 3] <= H + 0.5).all()
+
+
+def test_arrangements_match_reference_layout():
+    """Deterministic arrangements: centers within jitter(<=10px)+clamp of the
+    reference's closed-form positions (reference src/sample.py:86-146)."""
+    import sys
+    from .conftest import REFERENCE_SRC
+    p = str(REFERENCE_SRC)
+    if p not in sys.path:
+        sys.path.insert(0, p)
+    import sample as ref_sample
+
+    W = H = 512
+    for arr in ("horizontal", "vertical", "diagonal", "circular"):
+        st = sample_prototype(jax.random.key(3), W, H, 8, n=3,
+                              arrangement=arr)
+        ours = np.stack([np.asarray(st.cx)[:3], np.asarray(st.cy)[:3]], 1)
+        proto = ref_sample.populate_prototype(W, H, seed=0, use_grid=False,
+                                              sample_num=3, arrangement=arr)
+        ref = np.array([e["center"] for e in proto["elements"]], float)
+        # jitter is min(size//4, 10) on each axis in both implementations;
+        # sizes differ across draws, so allow jitter from both + clamping
+        assert np.abs(ours - ref).max() <= 2 * 10 + 24, (arr, ours, ref)
+
+
+def test_arrangement_single_element_centered():
+    st = sample_prototype(jax.random.key(1), 512, 512, 8, n=1,
+                          arrangement="horizontal")
+    assert abs(float(st.cx[0]) - 256) <= 10
+    assert abs(float(st.cy[0]) - 256) <= 10
+
+
+def test_arrangement_unknown_raises():
+    import pytest
+    with pytest.raises(ValueError):
+        sample_prototype(jax.random.key(0), 256, 256, 8, arrangement="spiral")
