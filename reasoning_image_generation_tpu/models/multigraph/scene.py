@@ -516,14 +516,87 @@ def combine_nested(shapes: List[np.ndarray], scale_factor=0.4, min_size=0.25):
     return out
 
 
+def _poly_seg_distance(poly: np.ndarray, a, b) -> float:
+    """Min distance from polygon vertices to segment a-b (vectorized)."""
+    a = np.asarray(a, np.float64)
+    ab = np.asarray(b, np.float64) - a
+    ab2 = float((ab ** 2).sum()) or 1e-12
+    t = np.clip(((poly - a) * ab).sum(1) / ab2, 0.0, 1.0)
+    proj = a + t[:, None] * ab
+    d = poly - proj
+    return float(np.hypot(d[:, 0], d[:, 1]).min())
+
+
+def _try_point_adjacency(cur, ref, placed, spacing=0.0, gap_tol=1e-8):
+    """Vertex-of-cur projected onto each edge-of-ref; translate so the
+    vertex sits `spacing` from that edge; first non-overlapping placement
+    wins (reference multi_combinator.py:908-955)."""
+    a = np.asarray(ref, np.float64)
+    b = np.roll(a, -1, axis=0)
+    ab = b - a
+    ab2 = np.maximum((ab ** 2).sum(1), 1e-12)
+    for p in np.asarray(cur, np.float64):
+        t = np.clip(((p - a) * ab).sum(1) / ab2, 0.0, 1.0)
+        proj = a + t[:, None] * ab
+        vec = proj - p
+        dist = np.hypot(vec[:, 0], vec[:, 1])
+        for e in range(len(a)):
+            needed = dist[e] - spacing
+            if abs(needed) <= gap_tol:
+                if not any(polys_overlap(cur, q) for q in placed):
+                    return cur
+                continue
+            if dist[e] < 1e-12:
+                continue  # reference's degenerate edge-normal case
+            unit = vec[e] / dist[e]
+            cand = (cur + (unit * needed)).astype(np.float32)
+            if any(polys_overlap(cand, q) for q in placed):
+                continue
+            if abs(_poly_seg_distance(cand, a[e], b[e]) - spacing) <= 1e-4:
+                return cand
+    return None
+
+
+def _try_edge_adjacency(cur, ref, placed, spacing=0.0):
+    """Bbox-edge matching: translate cur along the ref bbox edge normal by
+    spacing - distance (reference multi_combinator.py:957-997, including
+    its sign convention)."""
+    rx0, ry0 = ref.min(0)
+    rx1, ry1 = ref.max(0)
+    cx0, cy0 = cur.min(0)
+    cx1, cy1 = cur.max(0)
+    ref_h = [((rx0, ry0), (rx1, ry0)), ((rx0, ry1), (rx1, ry1))]
+    ref_v = [((rx0, ry0), (rx0, ry1)), ((rx1, ry0), (rx1, ry1))]
+    cur_h = [((cx0, cy0), (cx1, cy0)), ((cx0, cy1), (cx1, cy1))]
+    cur_v = [((cx0, cy0), (cx0, cy1)), ((cx1, cy0), (cx1, cy1))]
+    for (p0, p1) in ref_h + ref_v:
+        is_h = abs(p0[1] - p1[1]) < 1e-8
+        for (q0, q1) in (cur_h if is_h else cur_v):
+            # parallel axis-aligned segments: endpoint-to-segment min is exact
+            dist_now = min(_poly_seg_distance(np.asarray([q0, q1]), p0, p1),
+                           _poly_seg_distance(np.asarray([p0, p1]), q0, q1))
+            needed = spacing - dist_now
+            dxe, dye = p1[0] - p0[0], p1[1] - p0[1]
+            el = math.hypot(dxe, dye) or 1.0
+            nx, ny = -dye / el, dxe / el
+            cand = (cur + np.asarray([nx * needed, ny * needed])).astype(
+                np.float32)
+            if any(polys_overlap(cand, q) for q in placed):
+                continue
+            if abs(_poly_seg_distance(cand, p0, p1) - spacing) <= 1e-4:
+                return cand
+    return None
+
+
 def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
                      sample_n: int = 60, ladder: int = 12):
     """Touch-without-overlap placement.
 
-    The reference tries vertex-to-edge and bbox-edge strategies and falls
-    back to a 180-angle x distance-ladder sweep (multi_combinator.py:
-    908-1047); this implementation is the sweep, vectorized, with the
-    distance criterion evaluated on polygon samples instead of GEOS.
+    Strategy order matches the reference (multi_combinator.py:812, 908-1047):
+    pick 'edge' or 'point' adjacency at random, try that strategy's
+    deterministic projection placement, and only fall back to the
+    angle x distance-ladder sweep (whose shuffle uses the reference's fixed
+    Random(0) stream, multi_combinator.py:869) when it fails.
     """
     placed = [shapes[0]]
     for i in range(1, len(shapes)):
@@ -531,13 +604,22 @@ def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
         cur_c = poly_centroid(cur)
         # nearest placed shape is the reference
         ref = min(placed, key=lambda p: np.hypot(*(poly_centroid(p) - cur_c)))
+
+        adjacency_type = rng.choice(["edge", "point"])
+        strat = (_try_point_adjacency if adjacency_type == "point"
+                 else _try_edge_adjacency)
+        direct = strat(cur, ref, placed)
+        if direct is not None:
+            placed.append(direct.astype(np.float32))
+            continue
+
         ref_w, ref_h = ref.max(0) - ref.min(0)
         cur_w, cur_h = cur.max(0) - cur.min(0)
         size_based = max((ref_w + cur_w) / 2.0, (ref_h + cur_h) / 2.0)
         initial = max(poly_min_distance(ref, cur), size_based * 0.5, 1e-3)
 
         angles = list(np.linspace(0, 2 * np.pi, sample_n, endpoint=False))
-        rng.shuffle(angles)
+        random.Random(0).shuffle(angles)
         best = None
         scale_step = 1.0
         while scale_step <= 50 and best is None:

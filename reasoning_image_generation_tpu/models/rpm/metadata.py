@@ -119,42 +119,94 @@ def serialize_rule_info(leaf: str, params, step_idx: int, use_grid: bool,
             info["removed_idx_in_last"] = removed
             info["num_kept"] = len(kept)
             info["num_removed"] = len(removed)
+        elif not is_merge and leaf in ("去同存异", "去异存同"):
+            # replace-branch bookkeeping (src/rules.py:1319-1328, 1559-1567),
+            # reconstructed by diffing the two frames slot-wise (our replace
+            # is in-place per slot).  A newly-valid slot is the n<=1
+            # append case -> added_idx.
+            replaced, added = _replaced_indices(states, step_idx)
+            if added is not None:
+                info["added_idx"] = added
+            else:
+                info["num_replaced"] = len(replaced)
+                info["replaced_idx"] = replaced
         return info
     if leaf == "单一遍历":
         p: TraverseSeqParams = params
         n = int(_np(p.seq_len))
+        t = int(step_idx)
         seq = [SHAPE_KINDS[int(k)] for k in _np(p.seq)[:n]]
-        info = {"sequence": seq, "step_idx": int(step_idx) % n, "done": False}
-        # last_modified log (reference src/rules.py:871-877)
+        # the reference stores the NEXT raw index after applying step t
+        # (src/rules.py:878-881) and flips done when the pre-advance index
+        # reaches the sequence length (src/rules.py:864-867)
+        info = {"sequence": seq, "step_idx": t + 1, "done": t >= n}
+        if t == n:
+            info["note"] = "sequence_finished_after_this_step"
+        elif t > n:
+            info["note"] = "sequence_already_done"
+        # last_modified accumulates 2 entries per applied step
+        # (reference src/rules.py:871-877)
         kinds = _np(states.kind)
         cx, cy = _np(states.cx), _np(states.cy)
         bbox = _np(states.bbox)
         info["last_modified"] = [{
             "element_index": e,
-            "from_kind": SHAPE_KINDS[int(kinds[step_idx - 1, e])],
-            "to_kind": SHAPE_KINDS[int(kinds[step_idx, e])],
-            "center": [float(cx[step_idx, e]), float(cy[step_idx, e])],
-            "bbox": [float(v) for v in bbox[step_idx, e]],
-        } for e in range(2)]
+            "from_kind": SHAPE_KINDS[int(kinds[s - 1, e])],
+            "to_kind": SHAPE_KINDS[int(kinds[s, e])],
+            "center": [float(cx[s, e]), float(cy[s, e])],
+            "bbox": [float(v) for v in bbox[s, e]],
+        } for s in range(1, t + 1) for e in range(2)]
         return info
     if leaf == "位置遍历":
         p: TraversePosParams = params
         n = int(_np(p.pos_len))
+        t = int(step_idx)
         pos = [[float(a), float(b)] for a, b in _np(p.pos)[:n]]
         cx, cy = _np(states.cx), _np(states.cy)
-        return {"positions_sequence": pos, "step_idx": int(step_idx),
-                "done": False,
+        info = {"positions_sequence": pos, "step_idx": t + 1,
+                "done": (t - 1) >= n,
+                # one accumulated entry per applied step
+                # (reference src/rules.py:1000-1008)
                 "last_modified": [{
-                    "step_idx": int(step_idx),
-                    "original_center": [[float(cx[step_idx - 1, e]),
-                                         float(cy[step_idx - 1, e])]
+                    "step_idx": s,
+                    "original_center": [[float(cx[s - 1, e]),
+                                         float(cy[s - 1, e])]
                                         for e in range(2)],
-                    "new_centers": [[float(cx[step_idx, e]),
-                                     float(cy[step_idx, e])]
+                    "new_centers": [[float(cx[s, e]), float(cy[s, e])]
                                     for e in range(2)],
                     "elements_count": 2,
-                }]}
+                } for s in range(1, t + 1)]}
+        if (t + 1 - 2) >= n:  # reference src/rules.py:1013-1015
+            info["note"] = "positions_sequence_will_finish_next_step"
+        return info
     return {"handler": HANDLER_NAMES.get(leaf, leaf)}
+
+
+def _replaced_indices(states: ElementState, step_idx: int):
+    """Slot-diff frames step_idx-1 -> step_idx: (replaced_indices, added_idx).
+    A slot valid in both frames whose properties changed was replaced; a slot
+    newly valid is the reference's n<=1 forced-append (src/rules.py:1309-1321)."""
+    valid = _np(states.valid)
+    last, prev = step_idx, step_idx - 1
+    added = None
+    replaced = []
+    kind, size = _np(states.kind), _np(states.size)
+    cx, cy = _np(states.cx), _np(states.cy)
+    color = _np(states.color)
+    for i in range(valid.shape[1]):
+        if valid[last, i] and not valid[prev, i]:
+            added = i
+            continue
+        if not (valid[last, i] and valid[prev, i]):
+            continue
+        changed = (kind[last, i] != kind[prev, i]
+                   or size[last, i] != size[prev, i]
+                   or cx[last, i] != cx[prev, i]
+                   or cy[last, i] != cy[prev, i]
+                   or (color[last, i] != color[prev, i]).any())
+        if changed:
+            replaced.append(i)
+    return replaced, added
 
 
 def _diff_indices(states: ElementState, step_idx: int,

@@ -166,3 +166,29 @@ def test_deform_edge():
     np.testing.assert_allclose(out[0::2], tri, atol=1e-6)
     # area changed but same ballpark
     assert 0.5 < poly_area(out) / poly_area(tri) < 1.5
+
+
+def test_adjacent_point_and_edge_strategies():
+    """The direct projection strategies place touching, non-overlapping
+    shapes (reference multi_combinator.py:908-997 semantics)."""
+    import numpy as np
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        _try_point_adjacency, _try_edge_adjacency, regular_poly,
+        polys_overlap, poly_min_distance)
+    ref = regular_poly((0.0, 0.0), 6, 1.0)
+    cur = regular_poly((3.5, 0.2), 5, 0.8)
+    out = _try_point_adjacency(cur, ref, [ref])
+    assert out is not None
+    assert not polys_overlap(out, ref)
+    # a vertex of out lies on ref's boundary (spacing 0)
+    assert poly_min_distance(out, ref) < 0.05
+    # shape preserved (pure translation)
+    d = out - cur
+    assert np.allclose(d, d[0], atol=1e-5)
+    # edge mode inherits the reference's spacing - dist sign convention,
+    # which rarely passes its own distance post-check -> returns None and
+    # the caller falls back to the sweep (reference multi_combinator.py:
+    # 957-997 then 999-1047).  When it does place, it must be valid.
+    out_e = _try_edge_adjacency(cur, ref, [ref])
+    if out_e is not None:
+        assert not polys_overlap(out_e, ref)
