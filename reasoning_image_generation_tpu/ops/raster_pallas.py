@@ -39,9 +39,15 @@ NMETA = 20
 TH = 64
 TW = 256
 
+# M_SMALL: part-0 polygon has <= SMALL_V real edges, so the kernel can run
+# its edge pass on an 8-sublane slice instead of all 64 padded edges (the
+# pad repeats vertex 0, making the slice bit-identical for small shapes).
 (M_VALID, M_FILL, M_STROKE, M_R, M_G, M_B, M_CIRCLE, M_CRESCENT, M_CX, M_CY,
  M_ROUT, M_ICX, M_ICY, M_RIN, M_HASP1, M_BX0, M_BX1, M_BY0, M_BY1,
- M_PAD) = range(NMETA)
+ M_SMALL) = range(NMETA)
+SMALL_V = 8
+# part-1 polygons (only 'plus': two 4-vert rects) must fit the small tier
+assert int(np.asarray(G.NV)[:, 1].max()) <= SMALL_V
 
 
 def prepare_render_data(state: ElementState, W: int, H: int, use_grid,
@@ -91,7 +97,7 @@ def prepare_render_data(state: ElementState, W: int, H: int, use_grid,
         cx, cy, r_out, icx, icy, r_in,
         (_nv[:, 1] > 0).astype(jnp.float32),
         bx0, bx1, by0, by1,
-        jnp.zeros_like(cx),
+        (_nv[:, 0] <= SMALL_V).astype(jnp.float32),
     ], axis=-1)
     # coordinate-major vertex arrays for lane-friendly VMEM windows
     vxs = verts[..., 0]  # [E, NPART, V]
@@ -142,12 +148,19 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
                 pyw_t = cy + jnp.mod(py_col - cy + H * 0.5, float(H)) - H * 0.5
                 pxw_row = cx + jnp.mod(px - cx + W * 0.5, float(W)) - W * 0.5
 
-                def poly_part(part):
-                    """Edge-parallel polygon pass -> writes fa, sa."""
-                    ax = jnp.swapaxes(vx_ref[0, e, part].reshape(1, V), 0, 1)
-                    ay = jnp.swapaxes(vy_ref[0, e, part].reshape(1, V), 0, 1)
-                    bx = pltpu.roll(ax, V - 1, 0)
-                    by = pltpu.roll(ay, V - 1, 0)
+                def poly_part(part, nv_e):
+                    """Edge-parallel polygon pass -> writes fa, sa.
+
+                    nv_e ∈ {SMALL_V, V}: shapes with few real edges run on
+                    an 8-sublane slice of the padded vertex table — the
+                    pad repeats vertex 0, so the slice is bit-identical
+                    while doing 8x less vector work per row."""
+                    ax = jnp.swapaxes(
+                        vx_ref[0, e, part, :nv_e].reshape(1, nv_e), 0, 1)
+                    ay = jnp.swapaxes(
+                        vy_ref[0, e, part, :nv_e].reshape(1, nv_e), 0, 1)
+                    bx = pltpu.roll(ax, nv_e - 1, 0)
+                    by = pltpu.roll(ay, nv_e - 1, 0)
                     ex = bx - ax
                     ey = by - ay
                     inv = 1.0 / (ex * ex + ey * ey + 1e-9)
@@ -177,9 +190,15 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
 
                     jax.lax.fori_loop(0, TH, row, 0)
 
-                @pl.when(is_poly)
+                small = meta_ref[0, e, M_SMALL] > 0.0
+
+                @pl.when(is_poly & small)
                 def _():
-                    poly_part(0)
+                    poly_part(0, SMALL_V)
+
+                @pl.when(is_poly & jnp.logical_not(small))
+                def _():
+                    poly_part(0, V)
 
                 @pl.when(is_circle)
                 def _():
@@ -218,7 +237,9 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
 
                 @pl.when(meta_ref[0, e, M_HASP1] > 0.0)
                 def _():
-                    poly_part(1)
+                    # part 1 exists only for 'plus' (two 4-vert rects,
+                    # reference src/shapes.py:477-509) -> always small
+                    poly_part(1, SMALL_V)
                     composite()
 
         @pl.when(samp_ref[0, 0, 0] > 0.0)

@@ -31,6 +31,51 @@ def shard_batch(mesh: Mesh, tree, axis: str = "data"):
     return jax.tree.map(lambda a: jax.device_put(a, sharding), tree)
 
 
+def distributed_init(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host (DCN) initialization.  No-op for a single process.
+
+    The reference has no distributed backend (SURVEY.md §2.3); the
+    TPU-native scale-out is jax.distributed over pod slices: call this on
+    every host before any jax use, then `make_hybrid_mesh()` gives a
+    (host, data) mesh whose inner axis rides ICI and outer axis DCN.
+    """
+    if not num_processes or num_processes <= 1:
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_hybrid_mesh(host_axis: str = "host", data_axis: str = "data") -> Mesh:
+    """2-D (hosts x local chips) mesh.
+
+    Multi-process: rows = processes (DCN), columns = per-host chips (ICI),
+    so collectives over `data_axis` never cross DCN.  Single-process with
+    several devices: devices are folded into a 1 x n mesh so the same
+    PartitionSpecs compile (and the CPU test mesh exercises the layout).
+    """
+    n_proc = jax.process_count()
+    devs = jax.devices()
+    per_host = len(devs) // max(1, n_proc)
+    grid = np.asarray(devs[:n_proc * per_host]).reshape(n_proc, per_host)
+    return Mesh(grid, (host_axis, data_axis))
+
+
+def host_shard_ids(ids, process_index: int | None = None,
+                   process_count: int | None = None) -> list:
+    """Partition sample ids across hosts for embarrassingly parallel export.
+
+    Each host generates and writes only its strided shard (the dedup
+    all_gather still sees every hash, so the keep decisions stay global).
+    Deterministic in (id order, process_index) — no coordination needed.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(ids)[pi::max(1, pc)]
+
+
 def sharded_dedup_mask(mesh: Mesh, hashes: jnp.ndarray, threshold: int = 4,
                        axis: str = "data") -> jnp.ndarray:
     """Global dedup keep-mask with hashes sharded over the mesh.

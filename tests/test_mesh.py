@@ -58,3 +58,28 @@ def test_shard_batch_places_on_mesh():
     sharded = shard_batch(mesh, {"a": arr})["a"]
     assert sharded.sharding.spec == P("data")
     np.testing.assert_array_equal(np.asarray(sharded), arr)
+
+
+def test_hybrid_mesh_and_host_sharding():
+    import jax
+    import numpy as np
+    from reasoning_image_generation_tpu.parallel.mesh import (
+        make_hybrid_mesh, host_shard_ids, distributed_init, shard_batch)
+    from jax.sharding import PartitionSpec as P, NamedSharding
+
+    distributed_init()  # single-process no-op
+    mesh = make_hybrid_mesh()
+    assert mesh.axis_names == ("host", "data")
+    assert mesh.devices.shape == (1, 8)  # 8-device CPU test mesh, 1 process
+    # a (host, data)-sharded batch compiles and executes
+    x = np.arange(16.0).reshape(16, 1)
+    y = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(lambda a: a * 2)(y)
+    assert np.allclose(np.asarray(out), x * 2)
+    # strided host shards partition ids exactly
+    ids = list(range(10))
+    shards = [host_shard_ids(ids, process_index=i, process_count=3)
+              for i in range(3)]
+    assert sorted(sum(shards, [])) == ids
+    assert shards[0] == [0, 3, 6, 9]
+    assert host_shard_ids(ids) == ids  # this process sees everything
