@@ -20,7 +20,7 @@ import time
 
 REFERENCE_BASELINE_SPS = 0.202
 
-N_TIMED = 48
+N_TIMED = 128
 
 # One leaf per structural family (position-transform L=4, overlay L=6,
 # traversal L=4): per-sample cost matches the full mix (rendering dominates;
@@ -49,12 +49,12 @@ def _run_once():
 
         # timed run 1 — the north-star metric (BASELINE.json): rendered
         # puzzle samples/sec/chip at 512^2, on-device (all states, options
-        # and the composed grid materialized in HBM; no host transfer)
+        # and the composed grid materialized in HBM; no host transfer).
+        # Latency-amortized: this host's device relay costs ~36 ms per
+        # sync, so per-batch blocking understates device throughput ~8x;
+        # measure_device_rate queues 10 dispatches per sync instead.
         print("bench: device-only run...", file=sys.stderr, flush=True)
-        t0 = time.time()
-        gen.warmup(ids)  # warmup == full generation with block_until_ready
-        dt_dev = time.time() - t0
-        device_sps = len(ids) / dt_dev
+        device_sps = gen.measure_device_rate(ids, iters=10)
 
         # timed run 2 — end-to-end including device->host transfer and
         # PNG/JSON export (on this dev host, bounded by a ~20 MB/s stdio

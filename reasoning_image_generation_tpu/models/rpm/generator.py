@@ -180,6 +180,49 @@ class RPMGeneratorTPU:
         with ThreadPoolExecutor(max_workers=4) as ex:
             list(ex.map(run, jobs))
 
+    def measure_device_rate(self, sample_ids: List[int],
+                            iters: int = 10) -> float:
+        """On-device samples/s, with host<->device roundtrip latency
+        amortized out: per batch, queue `iters` dispatches back-to-back and
+        force completion once with a scalar readback (the device executes
+        them sequentially).  `jax.block_until_ready` alone can return before
+        the device finishes under this environment's relay, and a single
+        sync costs ~36 ms — per-batch syncing understates throughput ~8x.
+        Call warmup() first so compilation is excluded."""
+        import time as _time
+        import jax
+
+        jobs = []
+        for leaf, entries in self._sample_assignments(sample_ids).items():
+            pipe = self._pipeline(leaf)
+            B = self.cfg.batch_size
+            leaf_jobs = []
+            for start in range(0, len(entries), B):
+                chunk = entries[start:start + B]
+                ids = [e[0] for e in chunk]
+                pad_ids = ids + [ids[-1]] * (B - len(ids))
+                use_grid = np.asarray([e[2] for e in chunk] +
+                                      [False] * (B - len(ids)))
+                keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
+                leaf_jobs.append((pipe, keys, use_grid, len(ids)))
+            # steady-state measurement: prefer full batches (padding in a
+            # ragged tail batch would be billed as dead time)
+            full = [j for j in leaf_jobs if j[3] == B]
+            jobs.extend(full if full else leaf_jobs[:1])
+
+        total_samples = 0
+        total_time = 0.0
+        for pipe, keys, use_grid, n_real in jobs:
+            out = pipe(keys, use_grid)
+            _ = np.asarray(out["grid_img"].reshape(-1)[0])  # warm + sync
+            t0 = _time.perf_counter()
+            for _i in range(iters):
+                out = pipe(keys, use_grid)
+            _ = np.asarray(out["grid_img"].reshape(-1)[0])
+            total_time += _time.perf_counter() - t0
+            total_samples += n_real * iters
+        return total_samples / total_time if total_time > 0 else 0.0
+
     def generate_ids(self, sample_ids: List[int], progress: bool = False,
                      dedup: bool = False, dedup_threshold: int = 4,
                      resume: bool = False) -> List[dict]:
