@@ -38,6 +38,11 @@ def _run_once():
 
     out_dir = tempfile.mkdtemp(prefix="rig_bench_")
     try:
+        # sparse_transfer stays off: the lossless block-sparse codec buys
+        # ~1.5x e2e on this host's ~20 MB/s tunnel (back-to-back A/B:
+        # 3.41 vs 2.24 samples/s) but costs ~2x device throughput, and the
+        # headline metric is device samples/s.  Opt in via --sparse on
+        # hosts where the device->host link is the bottleneck.
         cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                         category_weights=dict(BENCH_WEIGHTS))
         gen = RPMGeneratorTPU(cfg)

@@ -45,6 +45,10 @@ def parse_args(argv=None):
                    help="omit S0../A-D cell labels on the grids")
     p.add_argument("--no_border", action="store_true",
                    help="omit the 1px cell borders on the grids")
+    p.add_argument("--sparse", action="store_true",
+                   help="lossless block-sparse device->host transfer codec: "
+                        "~2x fewer bytes for ~2x device time; use when the "
+                        "device->host link is the bottleneck")
     return p.parse_args(argv)
 
 
@@ -93,7 +97,8 @@ def main(argv=None):
         return
 
     cfg = GenConfig(out_dir=args.out_dir, grid_size=args.grid, seed=args.seed,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size,
+                    sparse_transfer=args.sparse)
     workers = args.workers if args.workers is not None else 8
     gen = RPMGeneratorTPU(cfg, io_workers=max(1, workers),
                           use_threads=workers != 0,
