@@ -129,7 +129,62 @@ def compute_scene_features(scene: Dict, touch_tol: float = 0.02) -> Dict:
             else:
                 rec["relation"] = "disjoint"
             features["pairs"].append(rec)
+
+    # --- reference compute_geos_features vocabulary ---------------------
+    # (reference multi_combinator.py:114-533.  That function is DEAD code
+    # upstream: `math.lg10` does not exist, so it raises AttributeError on
+    # every call.  We emit its intended result keys with working values.)
+    intersection_points = [pt for pts in
+                           (features["tangency_points"],
+                            features["crossing_points"]) for pt in pts]
+    per_geo_info, parallel_pairs = _per_geo_info(shapes)
+    features.update({
+        "tangency_points_count": len(features["tangency_points"]),
+        "crossing_points_count": len(features["crossing_points"]),
+        "intersection_points": intersection_points,
+        "intersection_points_count": len(intersection_points),
+        "partial_overlaps_pairs": list(features["partial_overlap_pairs"]),
+        "partial_overlaps_count": len(features["partial_overlap_pairs"]),
+        "parallel_edge_pairs_count": parallel_pairs,
+        "per_geo_info": per_geo_info,
+    })
     return features
+
+
+def _per_geo_info(shapes: List[np.ndarray],
+                  angle_tol: float = math.radians(2.0)):
+    """Per-geometry segment stats + global parallel-pair count
+    (reference multi_combinator.py:458-519 semantics: straight chains split
+    where consecutive edge angles differ by > angle_tol mod pi; parallel
+    pairs counted within angle buckets of width angle_tol)."""
+    infos = []
+    all_angles = []
+    for idx, poly in enumerate(shapes):
+        a = np.asarray(poly, np.float64)
+        e = np.roll(a, -1, 0) - a
+        keep = (np.abs(e) > 1e-12).any(1)
+        ang = (np.arctan2(e[keep][:, 1], e[keep][:, 0])) % math.pi
+        angles = ang.tolist()
+        straight = junctions = 0
+        if angles:
+            for k in range(1, len(angles)):
+                da = abs(angles[k] - angles[k - 1])
+                da = min(da, math.pi - da)
+                if da > angle_tol:
+                    straight += 1
+                    junctions += 1
+            straight += 1
+        infos.append({"idx": idx, "n_segments": int(keep.sum()),
+                      "straight_chains": straight,
+                      "curved_junctions": junctions,
+                      "n_angles": len(angles)})
+        all_angles.extend(angles)
+    buckets: Dict[int, int] = {}
+    for angv in all_angles:
+        k = int(round(angv / angle_tol))
+        buckets[k] = buckets.get(k, 0) + 1
+    parallel_pairs = sum(m * (m - 1) // 2 for m in buckets.values() if m >= 2)
+    return infos, parallel_pairs
 
 
 def pretty_print_features(features: Dict) -> str:

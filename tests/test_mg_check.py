@@ -60,3 +60,26 @@ def test_features_disjoint_and_nested():
     rel = {(p["i"], p["j"]): p["relation"] for p in f["pairs"]}
     assert rel[(0, 1)] == "contains_or_nested"
     assert rel[(0, 2)] == "disjoint"
+
+
+def test_geos_features_reference_vocabulary():
+    """The reference's compute_geos_features crashes upstream (math.lg10,
+    multi_combinator.py:127); ours emits its intended key vocabulary."""
+    from reasoning_image_generation_tpu.models.multigraph.scene import build_scene
+    from reasoning_image_generation_tpu.models.multigraph.check import (
+        compute_scene_features)
+    scene, meta = build_scene(5, "adjacent", 1.3)
+    f = compute_scene_features(scene)
+    expected = {"tangency_points_count", "crossing_points_count",
+                "intersection_points", "intersection_points_count",
+                "partial_overlaps_pairs", "partial_overlaps_count",
+                "parallel_edge_pairs_count", "per_geo_info"}
+    assert expected <= set(f)
+    assert f["tangency_points_count"] == len(f["tangency_points"])
+    assert f["intersection_points_count"] == len(f["intersection_points"])
+    for info in f["per_geo_info"]:
+        assert {"idx", "n_segments", "straight_chains",
+                "curved_junctions", "n_angles"} <= set(info)
+        assert info["n_segments"] > 0
+    # a rectangle pair has parallel edges -> counter is exercised
+    assert f["parallel_edge_pairs_count"] >= 0
