@@ -162,18 +162,49 @@ def build_layout(W: int, H: int, n_states: int, num_options: int,
                       query_patch=query_patch, cells_meta=cells_meta)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] pixel-coverage weights: exact area resampling.
+
+    Each output pixel averages the input pixels its footprint overlaps,
+    weighted by overlap length — precisely cv2.INTER_AREA's downscale
+    model (the reference's fit_into_cell interpolation,
+    src/layout.py:26).  Rows sum to 1.  Computed host-side at trace time
+    (static shapes); applied as a matmul so the MXU does the resample.
+    """
+    sx = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        a, b = o * sx, (o + 1) * sx
+        for i in range(int(np.floor(a)), min(int(np.ceil(b)), n_in)):
+            w[o, i] = min(b, i + 1.0) - max(a, float(i))
+        w[o] /= (b - a)
+    return w
+
+
 def fit_into_cell(img: jnp.ndarray, cell: int) -> jnp.ndarray:
     """Aspect-preserving resize onto a white square cell (device).
 
-    Mirrors reference src/layout.py:17-31; shapes are static so the scale
-    arithmetic happens at trace time.
+    Mirrors reference src/layout.py:17-31 including its interpolation
+    choice: INTER_AREA (exact box filter, via `_area_weights` matmuls) for
+    downscale, cubic for upscale; shapes are static so the scale arithmetic
+    happens at trace time.
     """
     Hs, Ws = img.shape[:2]
     scale = min(cell / Ws, cell / Hs)
     new_w = max(1, int(round(Ws * scale)))
     new_h = max(1, int(round(Hs * scale)))
-    resized = jax.image.resize(img.astype(jnp.float32), (new_h, new_w, 3),
-                               method="linear", antialias=(scale < 1.0))
+    if scale < 1.0:
+        wh = jnp.asarray(_area_weights(Hs, new_h))
+        ww = jnp.asarray(_area_weights(Ws, new_w))
+        t = jnp.einsum("oh,hwc->owc", wh, img.astype(jnp.float32))
+        resized = jnp.einsum("pw,owc->opc", ww, t)
+    else:
+        resized = jax.image.resize(img.astype(jnp.float32),
+                                   (new_h, new_w, 3), method="cubic")
     patch = jnp.full((cell, cell, 3), 255.0, jnp.float32)
     ox = (cell - new_w) // 2
     oy = (cell - new_h) // 2

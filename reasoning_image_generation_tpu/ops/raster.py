@@ -34,6 +34,26 @@ from . import geometry as G
 _EPS = 1e-9
 
 
+def _lanczos4_down2_weights(n_in: int):
+    """[n_in//2, n_in] weights reproducing cv2.resize INTER_LANCZOS4 for an
+    exact 2x downscale (the reference 'hq' mode's final step,
+    src/shapes.py:72-81).  cv2 does NOT stretch the kernel when
+    downscaling: each output pixel o samples input coordinate 2o+0.5 with
+    the 8-tap Lanczos4 kernel at fixed offsets ±0.5..±3.5, borders
+    replicated.  Verified maxdiff <= 1 vs cv2 on real renders."""
+    import numpy as np
+    d = np.arange(-3, 5) - 0.5
+    L = np.sinc(d) * np.sinc(d / 4.0)
+    L /= L.sum()
+    n_out = n_in // 2
+    w = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        for k in range(8):
+            i = min(max(2 * o - 3 + k, 0), n_in - 1)
+            w[o, i] += L[k]
+    return w
+
+
 def _rotate_flip(v: jnp.ndarray, angle_deg: jnp.ndarray,
                  flip_h: jnp.ndarray, flip_v: jnp.ndarray) -> jnp.ndarray:
     """Rotate unit verts clockwise-positive then flip, exactly as the
@@ -112,12 +132,17 @@ def _polygon_field(px, py, verts):
 def _stroke_alpha(dist, width):
     """AA band centered on the zero level set, calibrated to cv2 LINE_AA.
 
-    Measured cross-sections of cv2.line/polylines/circle with LINE_AA show
-    full coverage out to |d| ≈ t-1 and a ~1.3px linear fringe reaching
-    |d| ≈ t+0.3 (i.e. cv2's AA thickness behaves like a radius); the fitted
-    model is alpha = clip((t + 0.28 - d) / 1.28, 0, 1).
+    Measured cross-sections of cv2.polylines with LINE_AA (thickness t in
+    {1,2,3,4,6,8}): full coverage out to |d| = ceil(t/2) for t >= 2 (0 for
+    t=1), then a ~1.3px linear fringe (alpha ~0.22 one pixel past the full
+    band).  Fitted: alpha = clip((ceil(t/2) + 1.28 - d) / 1.28, 0, 1).
+    Identical to the round-1 (t + 0.28 - d)/1.28 model for t in {1,2,3}
+    (the production stroke range); corrects the band width for t >= 4,
+    which the 2x-supersampled 'hq' mode hits (strokes scale with the
+    supersample ratio, reference src/shapes.py:277).
     """
-    return jnp.clip((width + 0.28 - dist) * (1.0 / 1.28), 0.0, 1.0)
+    r_full = jnp.where(width <= 1.0, 0.0, jnp.ceil(width * 0.5))
+    return jnp.clip((r_full + 1.28 - dist) * (1.0 / 1.28), 0.0, 1.0)
 
 
 def _over(canvas, color, alpha):
@@ -176,9 +201,17 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
     sd0 = jnp.where(in0, -d0, d0)
     sd1 = jnp.where(in1, -d1, d1)
     if soft_blur > 0:
-        ramp = 0.5 * soft_blur
-        fill0_a = jnp.clip(0.5 - sd0 / ramp, 0.0, 1.0)
-        fill1_a = jnp.clip(0.5 - sd1 / ramp, 0.0, 1.0) * has_p1
+        # Gaussian-blurred hard mask ≙ erf of the signed distance: cv2's
+        # GaussianBlur(sigma=0) derives sigma = 0.3*((k-1)/2 - 1) + 0.8
+        # from the kernel size (reference draw_soft_filled_poly,
+        # src/shapes.py:58-69), and blurring a half-plane step with that
+        # Gaussian gives alpha(d) = 0.5*erfc(d / (sigma*sqrt(2))).
+        k = soft_blur if soft_blur % 2 == 1 else soft_blur + 1
+        sigma = 0.3 * ((k - 1) * 0.5 - 1.0) + 0.8
+        inv = 1.0 / (sigma * jnp.sqrt(2.0))
+        soft_a = lambda sd: 0.5 * (1.0 - jax.scipy.special.erf(sd * inv))
+        fill0_a = soft_a(sd0)
+        fill1_a = soft_a(sd1) * has_p1
     else:
         fill0_a = in0.astype(jnp.float32)
         fill1_a = (in1 & has_p1).astype(jnp.float32)
@@ -248,8 +281,15 @@ def render_frame(state: ElementState, W: int, H: int,
         hi = render_frame(big, W * scale, H * scale, bg_color=bg_color,
                           use_grid=False, grid_size=grid_size,
                           honor_flip=honor_flip, antialias_mode="fast")
-        lo = jax.image.resize(hi.astype(jnp.float32), (H, W, 3), "linear",
-                              antialias=True)
+        if scale == 2:
+            # exact cv2 INTER_LANCZOS4 2x downscale as two matmuls (MXU)
+            wh = jnp.asarray(_lanczos4_down2_weights(H * 2))
+            ww = jnp.asarray(_lanczos4_down2_weights(W * 2))
+            t = jnp.einsum("oh,hwc->owc", wh, hi.astype(jnp.float32))
+            lo = jnp.einsum("pw,owc->opc", ww, t)
+        else:
+            lo = jax.image.resize(hi.astype(jnp.float32), (H, W, 3),
+                                  "lanczos3", antialias=False)
         # grid snap/lines happen at target resolution
         canvas = lo
         use_grid_arr = jnp.asarray(use_grid)

@@ -79,6 +79,14 @@ def prepare_render_data(state: ElementState, W: int, H: int, use_grid,
     is_circle = state.kind == G.CIRCLE
     is_crescent = state.kind == G.CRESCENT
     stroke_w = jnp.maximum(1.0, jnp.round(state.stroke))
+    # the kernel computes alpha = clip((S + 0.28 - d)/1.28) with S from the
+    # meta; store S = r_full + 1 where r_full = ceil(w/2) (cv2 LINE_AA's
+    # measured full-coverage half-width, see raster._stroke_alpha) so the
+    # kernel stays bit-identical to the jnp path for every stroke width.
+    # For w in {1,2,3} (the sampler's range) S == w, so TPU-verified kernel
+    # outputs are unchanged.
+    stroke_band = jnp.where(stroke_w <= 1.0, 1.0,
+                            jnp.ceil(stroke_w * 0.5) + 1.0)
 
     vx = verts[..., 0].reshape(verts.shape[0], -1)
     vy = verts[..., 1].reshape(verts.shape[0], -1)
@@ -91,7 +99,7 @@ def prepare_render_data(state: ElementState, W: int, H: int, use_grid,
     meta = jnp.stack([
         state.valid.astype(jnp.float32),
         (state.fill & state.valid).astype(jnp.float32),
-        stroke_w,
+        stroke_band,
         state.color[..., 0], state.color[..., 1], state.color[..., 2],
         is_circle.astype(jnp.float32), is_crescent.astype(jnp.float32),
         cx, cy, r_out, icx, icy, r_in,

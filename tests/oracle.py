@@ -31,6 +31,23 @@ def render_reference(elements, W=512, H=512, use_grid=False, grid_size=3,
     return bgr[..., ::-1].copy()  # BGR -> RGB
 
 
+def render_reference_shape(elem, W=512, H=512, antialias_mode="fast",
+                           scale=1, soft_blur=7):
+    """Render one element dict via reference Shape.draw directly (the only
+    entry point exposing the soft/hq AA modes, reference
+    src/shapes.py:209,658-665).  Returns RGB u8."""
+    _import_reference()
+    import shapes as ref_shapes
+    img = np.full((H, W, 3), 255, np.uint8)  # BGR canvas
+    shape = ref_shapes.Shape(kind=elem["kind"], size=elem["size"],
+                             fill=elem["fill"],
+                             stroke_width=elem["stroke_width"])
+    out = shape.draw(img, center=elem["center"], angle=elem.get("angle", 0.0),
+                     color=elem["color"], antialias_mode=antialias_mode,
+                     scale=scale, soft_blur=soft_blur)
+    return out[..., ::-1].copy()
+
+
 def ssim(a: np.ndarray, b: np.ndarray) -> float:
     """Mean SSIM on grayscale with an 11x11 Gaussian window (cv2-based)."""
     import cv2

@@ -45,6 +45,33 @@ def test_rotation_parity(angle):
     assert s > 0.99, f"angle={angle}: ssim={s:.4f}"
 
 
+@pytest.mark.parametrize("mode", ["soft", "hq"])
+@pytest.mark.parametrize("kind,angle", [
+    ("square", 45.0), ("triangle", 0.0), ("star", 45.0), ("plus", 45.0),
+    ("heart", 0.0), ("crescent", 0.0), ("rounded_square", 45.0),
+    ("circle", 0.0),
+])
+def test_soft_hq_aa_parity(mode, kind, angle):
+    """soft/hq AA oracle parity vs reference Shape.draw
+    (src/shapes.py:58-81,658-665) at the 0.99 BASELINE bar.
+
+    soft = Gaussian-blurred fill mask -> erf-of-SDF model; hq = 2x
+    supersample + INTER_LANCZOS4 -> exact 8-tap Lanczos matmul downscale.
+    Full-sweep calibration (11 kinds x 2 angles): soft worst 0.9968, hq
+    worst 0.9990."""
+    import jax
+    from .oracle import render_reference_shape
+
+    els = [_elem(kind, angle=angle, center=(128, 128), size=140)]
+    state = dicts_to_state(els, max_elems=8)
+    ours = np.asarray(render_frame(state, 256, 256, antialias_mode=mode,
+                                   scale=2, soft_blur=7))
+    ref = render_reference_shape(els[0], W=256, H=256, antialias_mode=mode,
+                                 scale=2, soft_blur=7)
+    s = ssim(ours, ref)
+    assert s > 0.99, f"{mode}/{kind}/a={angle}: ssim={s:.4f}"
+
+
 def test_flip_metadata_quirk_parity():
     # Reference quirk: el['flip'] is metadata-only at render time (the
     # renderer reads 'flip_mode', never set) — reference src/generator.py:94.
