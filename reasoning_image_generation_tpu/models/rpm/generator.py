@@ -75,6 +75,28 @@ class RPMGeneratorTPU:
         self._pipelines: Dict[str, LeafPipeline] = {}
         self._pool = ExportPool(workers=io_workers, use_threads=use_threads)
         self._leaves = category_leaves(config.categories)
+        self.mesh = self._maybe_make_mesh()
+
+    def _maybe_make_mesh(self):
+        """Build the 1-D data mesh when several devices are visible.
+
+        The TPU-native equivalent of the reference's process-pool fan-out
+        over sample ids (reference src/cli.py:85-129): the per-sample batch
+        axis is sharded over every chip, and the corpus dedup's pHash
+        all_gather is the workload's only collective."""
+        import jax
+        from ...parallel.mesh import make_mesh
+        want = getattr(self.cfg, "use_mesh", "auto")
+        if want is False:
+            return None
+        n_dev = len(jax.devices())
+        if want == "auto" and n_dev <= 1:
+            return None
+        # largest device count that divides the batch (exactly one compiled
+        # program shape per leaf requires an evenly sharded batch)
+        n = max(d for d in range(1, n_dev + 1)
+                if self.cfg.batch_size % d == 0)
+        return make_mesh(n) if n > 1 else None
 
     # ---- host-side per-sample choices (weighted leaf + use_grid coin) ----
     def _sample_assignments(self, sample_ids) -> Dict[str, List]:
@@ -91,7 +113,7 @@ class RPMGeneratorTPU:
         if leaf not in self._pipelines:
             self._pipelines[leaf] = LeafPipeline(
                 leaf, self.cfg, show_labels=self.show_labels,
-                show_border=self.show_border)
+                show_border=self.show_border, mesh=self.mesh)
         return self._pipelines[leaf]
 
     def generate(self, n: int, progress: bool = False, dedup: bool = False,
@@ -181,14 +203,19 @@ class RPMGeneratorTPU:
             list(ex.map(run, jobs))
 
     def measure_device_rate(self, sample_ids: List[int],
-                            iters: int = 10) -> float:
+                            iters: int = 10, blocking: bool = False) -> float:
         """On-device samples/s, with host<->device roundtrip latency
         amortized out: per batch, queue `iters` dispatches back-to-back and
         force completion once with a scalar readback (the device executes
         them sequentially).  `jax.block_until_ready` alone can return before
         the device finishes under this environment's relay, and a single
         sync costs ~36 ms — per-batch syncing understates throughput ~8x.
-        Call warmup() first so compilation is excluded."""
+        Call warmup() first so compilation is excluded.
+
+        ``blocking=True`` syncs after every dispatch instead — the
+        conservative per-batch-latency methodology; both numbers are
+        reported by bench.py so round-over-round deltas can't hide in a
+        methodology change."""
         import time as _time
         import jax
 
@@ -218,7 +245,10 @@ class RPMGeneratorTPU:
             t0 = _time.perf_counter()
             for _i in range(iters):
                 out = pipe(keys, use_grid)
-            _ = np.asarray(out["grid_img"].reshape(-1)[0])
+                if blocking:
+                    _ = np.asarray(out["grid_img"].reshape(-1)[0])
+            if not blocking:
+                _ = np.asarray(out["grid_img"].reshape(-1)[0])
             total_time += _time.perf_counter() - t0
             total_samples += n_real * iters
         return total_samples / total_time if total_time > 0 else 0.0
@@ -239,7 +269,10 @@ class RPMGeneratorTPU:
             sample_ids = remaining
         self._dedup = dedup
         self._dedup_threshold = dedup_threshold
-        self._corpus_hashes: List = []
+        # fixed-capacity corpus of kept pHashes (device dedup needs static
+        # shapes; the buffer doubles on overflow, recompiling once per size)
+        self._corpus_buf = np.zeros((4096, 8), np.uint8)
+        self._corpus_count = 0
 
         groups = self._sample_assignments(sample_ids)
         t0 = time.time()
@@ -273,12 +306,17 @@ class RPMGeneratorTPU:
             # and start the device->host copies so transfer of batch k
             # overlaps compute of batch k+1
             n_real = len(ids)
-            out = jax.tree.map(lambda a: a[:n_real], out)
+            phash_full = out.get("grid_phash")  # full batch: the sharded
+            out = jax.tree.map(lambda a: a[:n_real], out)  # dedup collective
+            out["grid_phash_full"] = phash_full            # needs even shards
             # start async host copies for everything EXCEPT raw frames when
             # the sparse codec carries them (raw stays device-resident as
             # the overflow fallback)
-            sparse = "state_imgs_packed" in out
-            skip = {"state_imgs", "option_imgs", "grid_img"} if sparse else set()
+            skip = set()
+            if "state_imgs_packed" in out:
+                skip |= {"state_imgs", "option_imgs"}
+            if "grid_img_packed" in out:
+                skip |= {"grid_img"}
             for k, v in out.items():
                 if k in skip:
                     continue
@@ -321,25 +359,38 @@ class RPMGeneratorTPU:
                 }
         return len(p_chunk)
 
-    def _dedup_mask(self, hashes: np.ndarray, n_real: int) -> np.ndarray:
+    def _dedup_mask(self, hashes_dev, n_real: int) -> np.ndarray:
         """Corpus-level pHash dedup vs everything generated so far.
 
         Realizes the reference README's claimed semantic-duplicate filter
-        (reference README.md:8): pHashes are computed on device inside the
-        pipeline (8 bytes/sample cross the link) and compared against the
-        running corpus on host.  Returns keep mask [n_real]."""
-        hashes = np.asarray(hashes)[:n_real]
-        keep = np.ones(n_real, bool)
-        corpus = self._corpus_hashes
+        (reference README.md:8) on device: the batch's pHashes (computed
+        inside the pipeline, 8 bytes/sample) are compared against the
+        replicated corpus buffer — through `sharded_dedup_mask`'s ICI
+        all_gather when a mesh is active, via the same jitted kernel
+        single-device otherwise.  Host work is appending kept hashes.
+        Returns keep mask [n_real]."""
+        from ...ops.phash import dedup_keep_mask_vs_corpus
+        from ...parallel.mesh import sharded_dedup_mask
+
+        while self._corpus_count + n_real > len(self._corpus_buf):
+            self._corpus_buf = np.concatenate(
+                [self._corpus_buf, np.zeros_like(self._corpus_buf)])
+        count = np.int32(self._corpus_count)
+        B = int(np.shape(hashes_dev)[0])
+        if self.mesh is not None and B % self.mesh.size == 0:
+            keep = sharded_dedup_mask(
+                self.mesh, hashes_dev, threshold=self._dedup_threshold,
+                corpus=self._corpus_buf, corpus_count=count)
+        else:
+            keep = dedup_keep_mask_vs_corpus(
+                self._corpus_buf, count, hashes_dev,
+                threshold=self._dedup_threshold)
+        keep = np.asarray(keep)[:n_real]
+        hashes = np.asarray(hashes_dev)[:n_real]
         for i in range(n_real):
-            h = hashes[i]
-            if corpus:
-                arr = np.stack(corpus)
-                dist = np.unpackbits(np.bitwise_xor(arr, h), axis=1).sum(1)
-                if (dist <= self._dedup_threshold).any():
-                    keep[i] = False
-                    continue
-            corpus.append(h)
+            if keep[i]:
+                self._corpus_buf[self._corpus_count] = hashes[i]
+                self._corpus_count += 1
         return keep
 
     def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
@@ -351,22 +402,28 @@ class RPMGeneratorTPU:
         states_np = jax.tree.map(np.asarray, out["states"])
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
-        if "state_imgs_packed" in out:
+        grid_only = getattr(self.cfg, "grid_only", False)
+        if "grid_img_packed" in out:
+            grid_imgs = _unpack_images(out["grid_img_packed"],
+                                       out["grid_img"])
+        else:
+            grid_imgs = np.asarray(out["grid_img"])
+        if grid_only:
+            state_imgs = option_imgs = None
+        elif "state_imgs_packed" in out:
             state_imgs = _unpack_images(out["state_imgs_packed"],
                                         out["state_imgs"])
             option_imgs = _unpack_images(out["option_imgs_packed"],
                                          out["option_imgs"])
-            grid_imgs = _unpack_images(out["grid_img_packed"],
-                                       out["grid_img"])
         else:
             state_imgs = np.asarray(out["state_imgs"])
             option_imgs = np.asarray(out["option_imgs"])
-            grid_imgs = np.asarray(out["grid_img"])
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
         if getattr(self, "_dedup", False):
-            keep = self._dedup_mask(np.asarray(out["grid_phash"]), len(chunk))
+            keep = self._dedup_mask(
+                out.get("grid_phash_full", out["grid_phash"]), len(chunk))
         else:
             keep = np.ones(len(chunk), bool)
 
@@ -380,20 +437,22 @@ class RPMGeneratorTPU:
             ensure_dir(sample_dir)
             grid_path = os.path.join(self.grids_dir, f"grid_{sid:06d}.png")
 
-            for t in range(L):
-                self._pool.submit_png(
-                    os.path.join(sample_dir, f"state_{t}.png"), state_imgs[b, t])
-            # distractor files keep their pre-shuffle index j (reference
-            # writes option_j.png at generation time, src/generator.py:500)
             perm = perms[b]
-            for pos in range(O):
-                src = int(perm[pos])
-                name = ("proto_true_next.png" if src == 0 else
-                        f"option_{src}.png")
-                self._pool.submit_png(os.path.join(sample_dir, name),
-                                      option_imgs[b, pos])
-            self._pool.submit_png(os.path.join(sample_dir, "query.png"),
-                                  layout.query_patch)
+            if not grid_only:
+                for t in range(L):
+                    self._pool.submit_png(
+                        os.path.join(sample_dir, f"state_{t}.png"),
+                        state_imgs[b, t])
+                # distractor files keep their pre-shuffle index j (reference
+                # writes option_j.png at generation time, src/generator.py:500)
+                for pos in range(O):
+                    src = int(perm[pos])
+                    name = ("proto_true_next.png" if src == 0 else
+                            f"option_{src}.png")
+                    self._pool.submit_png(os.path.join(sample_dir, name),
+                                          option_imgs[b, pos])
+                self._pool.submit_png(os.path.join(sample_dir, "query.png"),
+                                      layout.query_patch)
             self._pool.submit_png(grid_path, grid_imgs[b])
 
             sample_states = jax.tree.map(lambda a: a[b], states_np)

@@ -77,6 +77,34 @@ def dedup_keep_mask(hashes: jnp.ndarray, threshold: int = 4) -> jnp.ndarray:
     return jax.lax.fori_loop(0, n, body, init)
 
 
+@partial(jax.jit, static_argnames=("threshold",))
+def dedup_keep_mask_vs_corpus(corpus: jnp.ndarray, corpus_count: jnp.ndarray,
+                              hashes: jnp.ndarray,
+                              threshold: int = 4) -> jnp.ndarray:
+    """Greedy first-wins dedup of `hashes` against a fixed-capacity corpus.
+
+    `corpus` is a [CAP, 8] u8 buffer of previously-kept hashes of which only
+    the first `corpus_count` entries are live; a batch entry is dropped when
+    it is within `threshold` of any live corpus entry or of an earlier kept
+    batch entry.  Static shapes (CAP, N) keep this a single compiled program
+    across batches; only `corpus_count` varies at runtime."""
+    n = hashes.shape[0]
+    dc = hashes[:, None, :] ^ corpus[None, :, :]
+    dist_c = jnp.sum(jax.lax.population_count(dc).astype(jnp.int32), axis=-1)
+    live = jnp.arange(corpus.shape[0]) < corpus_count
+    dup_corpus = jnp.any((dist_c <= threshold) & live[None, :], axis=1)
+    near = hamming_matrix(hashes) <= threshold
+
+    def body(i, keep):
+        dup = dup_corpus[i] | jnp.any(near[i] & keep & (jnp.arange(n) < i))
+        return keep.at[i].set(~dup)
+
+    # init derived from traced values so its sharding varyingness matches
+    # the loop body under shard_map (cf. dedup_keep_mask above)
+    init = dup_corpus & False
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def dedup_images(imgs, threshold: int = 4):
     """Convenience: hashes + keep mask for a u8 image batch [N, H, W, 3]."""
     h = phash_batch(jnp.asarray(imgs))

@@ -76,24 +76,61 @@ def host_shard_ids(ids, process_index: int | None = None,
     return list(ids)[pi::max(1, pc)]
 
 
+def _axis_index_flat(axis, mesh: Mesh):
+    """Row-major flat shard index over one axis name or a tuple of them."""
+    if isinstance(axis, str):
+        return jax.lax.axis_index(axis)
+    idx = jnp.int32(0)
+    for a in axis:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
 def sharded_dedup_mask(mesh: Mesh, hashes: jnp.ndarray, threshold: int = 4,
-                       axis: str = "data") -> jnp.ndarray:
+                       axis="data", corpus: jnp.ndarray | None = None,
+                       corpus_count=None) -> jnp.ndarray:
     """Global dedup keep-mask with hashes sharded over the mesh.
 
     all_gather of [N/n, 8] u8 hashes rides ICI; the greedy pass runs
     replicated (64 bits/sample makes it trivially cheap) and each chip
     returns its shard of the mask.
-    """
-    from ..ops.phash import dedup_keep_mask
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
+    When `corpus` (a replicated [CAP, 8] buffer with `corpus_count` live
+    entries) is given, the batch is additionally deduped against every
+    previously-kept hash — the cross-batch corpus filter of
+    reference README.md:8, running on-device.
+
+    `axis` may be a tuple of mesh axis names (e.g. ("host", "data") on the
+    hybrid mesh) — the gather then crosses DCN and the keep decision is
+    global across hosts.
+    """
+    from ..ops.phash import dedup_keep_mask, dedup_keep_mask_vs_corpus
+
+    if corpus is None:
+        @partial(jax.shard_map, mesh=mesh, in_specs=P(axis),
+                 out_specs=P(axis))
+        def _mask(local_hashes):
+            all_h = jax.lax.all_gather(local_hashes, axis)
+            all_h = all_h.reshape(-1, local_hashes.shape[-1])
+            keep = dedup_keep_mask(all_h, threshold=threshold)
+            idx = _axis_index_flat(axis, mesh)
+            n_local = local_hashes.shape[0]
+            return jax.lax.dynamic_slice(keep, (idx * n_local,), (n_local,))
+
+        return _mask(hashes)
+
+    count = jnp.asarray(0 if corpus_count is None else corpus_count,
+                        jnp.int32)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis), P(None), P()),
              out_specs=P(axis))
-    def _mask(local_hashes):
+    def _mask_c(local_hashes, corpus_rep, count_rep):
         all_h = jax.lax.all_gather(local_hashes, axis)
         all_h = all_h.reshape(-1, local_hashes.shape[-1])
-        keep = dedup_keep_mask(all_h, threshold=threshold)
-        idx = jax.lax.axis_index(axis)
+        keep = dedup_keep_mask_vs_corpus(corpus_rep, count_rep, all_h,
+                                         threshold=threshold)
+        idx = _axis_index_flat(axis, mesh)
         n_local = local_hashes.shape[0]
         return jax.lax.dynamic_slice(keep, (idx * n_local,), (n_local,))
 
-    return _mask(hashes)
+    return _mask_c(hashes, jnp.asarray(corpus), count)

@@ -52,6 +52,54 @@ def test_sharded_generation_step():
     np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs1))
 
 
+def test_production_generator_mesh_parity(tmp_path):
+    """generate_ids on the 8-device mesh is bit-identical to single-device.
+
+    Covers VERDICT r1 item 2: the production generator must actually ride
+    the mesh (sharded keys, sharded pipeline, sharded corpus dedup), and do
+    so without changing a single output byte."""
+    import json
+    from pathlib import Path
+    from reasoning_image_generation_tpu.models.rpm.generator import (
+        RPMGeneratorTPU)
+
+    ids = list(range(10))  # batch_size 8 -> one full batch + ragged tail
+
+    def run(use_mesh, sub):
+        cfg = GenConfig(out_dir=str(tmp_path / sub), seed=7,
+                        canvas_size=(64, 64), batch_size=8, max_elems=4,
+                        use_mesh=use_mesh)
+        gen = RPMGeneratorTPU(cfg)
+        if use_mesh == "auto":
+            assert gen.mesh is not None and gen.mesh.size == 8
+        else:
+            assert gen.mesh is None
+        metas = gen.generate_ids(ids, dedup=True, dedup_threshold=4)
+        gen.close()
+        return metas, Path(cfg.out_dir)
+
+    m_single, d_single = run(False, "single")
+    m_mesh, d_mesh = run("auto", "mesh")
+
+    # identical metadata (paths + wall-clock timestamps normalized),
+    # incl. identical dedup decisions
+    def norm(metas, root):
+        import re
+        s = json.dumps(metas, ensure_ascii=False, sort_keys=True)
+        s = re.sub(r"\d{4}-\d{2}-\d{2}T[0-9:.+]+", "<t>", s)
+        return s.replace(str(root), "<out>")
+
+    assert norm(m_mesh, d_mesh) == norm(m_single, d_single)
+
+    # every exported image byte-identical
+    files_single = sorted(p.relative_to(d_single)
+                          for p in d_single.rglob("*.png"))
+    files_mesh = sorted(p.relative_to(d_mesh) for p in d_mesh.rglob("*.png"))
+    assert files_single == files_mesh and files_single
+    for rel in files_single:
+        assert (d_single / rel).read_bytes() == (d_mesh / rel).read_bytes(), rel
+
+
 def test_shard_batch_places_on_mesh():
     mesh = make_mesh(8)
     arr = np.arange(16 * 3).reshape(16, 3).astype(np.float32)
