@@ -49,6 +49,10 @@ def parse_args(argv=None):
                    help="lossless block-sparse device->host transfer codec: "
                         "~2x fewer bytes for ~2x device time; use when the "
                         "device->host link is the bottleneck")
+    p.add_argument("--grid_only", action="store_true",
+                   help="export only grid_%%06d.png + meta/coco; per-frame "
+                        "state/option images never leave the device "
+                        "(~9x fewer bytes across the host link)")
     return p.parse_args(argv)
 
 
@@ -98,7 +102,7 @@ def main(argv=None):
 
     cfg = GenConfig(out_dir=args.out_dir, grid_size=args.grid, seed=args.seed,
                     batch_size=args.batch_size,
-                    sparse_transfer=args.sparse)
+                    sparse_transfer=args.sparse, grid_only=args.grid_only)
     workers = args.workers if args.workers is not None else 8
     gen = RPMGeneratorTPU(cfg, io_workers=max(1, workers),
                           use_threads=workers != 0,

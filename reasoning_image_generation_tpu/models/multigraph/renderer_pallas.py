@@ -275,9 +275,13 @@ def _make_kernel(H: int, Wp: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("dpi",))
-def render_scene_batch_pallas(batch, dpi: int = 200):
-    """Batched mg scene rendering on TPU -> u8 [N, S, S, 3]."""
+@functools.partial(jax.jit, static_argnames=("dpi", "interpret"))
+def render_scene_batch_pallas(batch, dpi: int = 200,
+                              interpret: bool = False):
+    """Batched mg scene rendering on TPU -> u8 [N, S, S, 3].
+
+    ``interpret=True`` runs the kernel in Pallas interpret mode so CPU CI
+    can pin kernel parity without TPU hardware (use a small dpi there)."""
     N = batch["shape_valid"].shape[0]
 
     def prep(scene):
@@ -357,6 +361,7 @@ def render_scene_batch_pallas(batch, dpi: int = 200):
         out_specs=pl.BlockSpec((1, 3, TH, TW), lambda n, i, j: (n, 0, i, j)),
         out_shape=jax.ShapeDtypeStruct((N, 3, Hp, Wp), jnp.uint8),
         scratch_shapes=[pltpu.VMEM((TH, TW), jnp.float32) for _ in range(4)],
+        interpret=interpret,
     )(metas, svx, svy, mvx, mvy, lins)
     img = jnp.transpose(img, (0, 2, 3, 1))[:, :H, :W]
     return img

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ...utils.config import GenConfig, OVERLAY_LEAVES, KIND_ID
-from ...utils.state import ElementState
+from ...utils.state import ElementState, recompute_bbox_from_center
 from ...ops.raster import render_frame
 from ...ops.compose import GridLayout, build_layout, compose_grid
 from ...ops.phash import phash
@@ -165,7 +165,22 @@ def make_sample_fn(leaf: str, cfg: GenConfig):
         prev1 = frame(L - 2)
         prev2 = frame(L - 3)
 
-        # ---- distractors: K candidates per slot, first non-duplicate wins
+        # ---- distractors: K candidates per slot, first non-duplicate wins.
+        # A final guaranteed-unique tier closes the all-K-collide hole the
+        # reference plugs with a blank-image fallback (src/generator.py:
+        # 444-509): O shifted copies of the last frame, pairwise-distinct by
+        # construction, so with at most O-1 taken hashes pigeonhole always
+        # leaves a free candidate (small candidate spaces like 翻转(镜像)'s
+        # 3 flip modes can exhaust all K fresh draws).
+        shift_amts = jnp.asarray(
+            [(p * W) / (O + 1) for p in range(1, O + 1)], jnp.float32)
+
+        def shifted_fallback(amt):
+            st = prev1._replace(cx=(prev1.cx + amt) % W)
+            return recompute_bbox_from_center(st, W, H)
+
+        fallback = jax.vmap(shifted_fallback)(shift_amts)   # [O, ...]
+
         opt_states = [correct]
         hashes = [state_hash(correct)]
         dkeys = jax.random.split(kd, O - 1)
@@ -174,10 +189,12 @@ def make_sample_fn(leaf: str, cfg: GenConfig):
             cands = jax.vmap(
                 lambda k: distractor_candidate(k, prev2, prev1, use_grid, j)
             )(ckeys)
-            chashes = jax.vmap(state_hash)(cands)           # [K]
+            cands = jax.tree.map(lambda a, b: jnp.concatenate([a, b], 0),
+                                 cands, fallback)           # [K+O, ...]
+            chashes = jax.vmap(state_hash)(cands)           # [K+O]
             taken = jnp.stack(hashes)                       # [J]
             ok = jnp.all(chashes[:, None] != taken[None, :], axis=1)
-            pick = jnp.where(jnp.any(ok), jnp.argmax(ok), N_CANDIDATES - 1)
+            pick = jnp.argmax(ok)  # fresh draws first; fallback tier last
             chosen = jax.tree.map(lambda a: a[pick], cands)
             opt_states.append(chosen)
             hashes.append(chashes[pick])
@@ -210,7 +227,8 @@ class LeafPipeline:
     """Compiled batched generator for one rule leaf."""
 
     def __init__(self, leaf: str, cfg: GenConfig,
-                 show_labels: bool = True, show_border: bool = True):
+                 show_labels: bool = True, show_border: bool = True,
+                 mesh=None):
         self.leaf = leaf
         self.cfg = cfg
         W, H = cfg.canvas_size
@@ -259,27 +277,46 @@ class LeafPipeline:
 
                 imgs = jax.lax.map(render_one_frame, frames_first)
                 imgs = jnp.swapaxes(imgs, 0, 1)             # [B, F, ...]
-            out["state_imgs"] = imgs[:, :L]
-            out["option_imgs"] = imgs[:, L:]
+            state_imgs = imgs[:, :L]
+            option_imgs = imgs[:, L:]
             grids = jax.vmap(lambda s, o: compose_grid(layout, s[:L - 1], o))(
-                out["state_imgs"], out["option_imgs"])
+                state_imgs, option_imgs)
             out["grid_img"] = grids
             # grid pHash for corpus dedup — on device, no image round-trip
             out["grid_phash"] = jax.vmap(phash)(grids)
+            # grid_only: the per-frame images never leave the device —
+            # ~9x fewer bytes over the host link when only the composed
+            # puzzle is needed downstream
+            if not getattr(cfg, "grid_only", False):
+                out["state_imgs"] = state_imgs
+                out["option_imgs"] = option_imgs
             # sparse transfer codec: pack frames on device so exports move
             # ~3-4x fewer bytes over the host link (ops/sparse.py); raw
             # frames stay device-resident for the rare overflow fallback
             if getattr(cfg, "sparse_transfer", True):
                 from ...ops.sparse import n_blocks
-                frac = getattr(cfg, "sparse_budget", 0.5)
+                frac = getattr(cfg, "sparse_budget", 0.35)
+                gfrac = getattr(cfg, "sparse_budget_grid", 0.55)
                 budget = int(n_blocks(H, W) * frac)
-                gb = int(n_blocks(layout.grid_h, W) * frac)
-                out["state_imgs_packed"] = pack_batch(out["state_imgs"], budget)
-                out["option_imgs_packed"] = pack_batch(out["option_imgs"], budget)
+                gb = int(n_blocks(layout.grid_h, W) * gfrac)
+                if "state_imgs" in out:
+                    out["state_imgs_packed"] = pack_batch(state_imgs, budget)
+                    out["option_imgs_packed"] = pack_batch(option_imgs, budget)
                 out["grid_img_packed"] = pack_batch(grids, gb)
             return out
 
-        self._batch_fn = jax.jit(batch_fn)
+        if mesh is not None:
+            # data-parallel over the mesh: inputs and every output tensor
+            # carry a leading batch axis sharded over 'data'; XLA partitions
+            # the whole program with no cross-chip communication (the dedup
+            # all_gather lives in parallel/mesh.py, outside this jit)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            shard = NamedSharding(mesh, P("data"))
+            self._batch_fn = jax.jit(batch_fn, in_shardings=(shard, shard),
+                                     out_shardings=shard)
+        else:
+            self._batch_fn = jax.jit(batch_fn)
+        self.mesh = mesh
 
     def __call__(self, keys, use_grid):
         return self._batch_fn(keys, use_grid)
