@@ -22,14 +22,23 @@ REFERENCE_BASELINE_SPS = 0.202
 
 N_TIMED = 128
 
-# One leaf per structural family (position-transform L=4, overlay L=6,
-# traversal L=4): per-sample cost matches the full mix (rendering dominates;
-# rule arithmetic is negligible) while compile count stays at 3 pipelines —
-# the remote-compile service in this environment is the long pole and does
-# not hit the persistent cache.
-BENCH_WEIGHTS = {"平移": 1.0, "旋转": 0.0, "翻转(镜像)": 0.0, "组合": 1.0,
-                 "直接叠加": 1.0, "去同存异": 0.0, "去异存同": 0.0,
+# Two leaves per structural family (position-transform L=4, overlay L=6,
+# traversal L=4), 6 of 9 total, so rotate- and diff-overlay-family
+# throughput is measured rather than asserted.  Per-sample cost matches the
+# full mix (rendering dominates; rule arithmetic is negligible); compile
+# count is 6 pipelines — the remote-compile service in this environment is
+# the long pole and does not hit the persistent cache.
+BENCH_WEIGHTS = {"平移": 1.0, "旋转": 1.0, "翻转(镜像)": 0.0, "组合": 1.0,
+                 "直接叠加": 1.0, "去同存异": 1.0, "去异存同": 0.0,
                  "单一遍历": 1.0, "位置遍历": 0.0}
+
+# Reference multigraph pipeline baseline.  NOT measurable on this host:
+# the reference hard-imports shapely (multigraph_generation/generator.py:26)
+# which is not installed here.  0.5 imgs/s is a structural estimate —
+# matplotlib figure + savefig at dpi 200 (1600^2) costs ~1-2 s/img alone,
+# plus the shapely adjacency search (180-angle x distance-ladder sweeps,
+# multigraph_generation/multi_combinator.py:1001-1032).
+REFERENCE_MG_BASELINE_IPS = 0.5  # estimate; reference unrunnable (no shapely)
 
 
 def _run_once():
@@ -38,11 +47,11 @@ def _run_once():
 
     out_dir = tempfile.mkdtemp(prefix="rig_bench_")
     try:
-        # sparse_transfer stays off: the lossless block-sparse codec buys
-        # ~1.5x e2e on this host's ~20 MB/s tunnel (back-to-back A/B:
-        # 3.41 vs 2.24 samples/s) but costs ~2x device throughput, and the
-        # headline metric is device samples/s.  Opt in via --sparse on
-        # hosts where the device->host link is the bottleneck.
+        # sparse_transfer stays off for the DEVICE-rate runs (the codec
+        # costs ~2x device time and the headline metric is device
+        # samples/s); the e2e runs below use their own sparse-enabled
+        # pipelines because the device->host link is the e2e bottleneck
+        # on this host (measured: raw link ~5-20 MB/s and varying).
         cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                         category_weights=dict(BENCH_WEIGHTS))
         gen = RPMGeneratorTPU(cfg)
@@ -57,22 +66,120 @@ def _run_once():
         # and the composed grid materialized in HBM; no host transfer).
         # Latency-amortized: this host's device relay costs ~36 ms per
         # sync, so per-batch blocking understates device throughput ~8x;
-        # measure_device_rate queues 10 dispatches per sync instead.
+        # measure_device_rate queues 10 dispatches per sync instead.  The
+        # per-batch-blocking number is reported alongside so methodology
+        # changes can't masquerade as perf deltas.
         print("bench: device-only run...", file=sys.stderr, flush=True)
         device_sps = gen.measure_device_rate(ids, iters=10)
+        device_sps_blocking = gen.measure_device_rate(ids, iters=10,
+                                                      blocking=True)
 
-        # timed run 2 — end-to-end including device->host transfer and
-        # PNG/JSON export (on this dev host, bounded by a ~20 MB/s stdio
-        # tunnel and a single CPU core)
-        print("bench: end-to-end run...", file=sys.stderr, flush=True)
+        # quantify the link: raw device->host MB/s for one batch's images
+        import numpy as np
+        from reasoning_image_generation_tpu.models.rpm.pipeline import (
+            sample_keys)
+        leaf, entries = next(iter(gen._sample_assignments(ids).items()))
+        pipe = gen._pipeline(leaf)
+        chunk = entries[:cfg.batch_size]
+        pad = [e[0] for e in chunk] + [chunk[0][0]] * (cfg.batch_size - len(chunk))
+        ug = np.asarray([e[2] for e in chunk] +
+                        [False] * (cfg.batch_size - len(chunk)))
+        out = pipe(sample_keys(cfg.seed or 0, np.asarray(pad)), ug)
+        _ = np.asarray(out["grid_img"].reshape(-1)[0])
         t0 = time.time()
-        metas = gen.generate_ids(ids)
-        gen._pool.drain()
-        dt_e2e = time.time() - t0
+        nbytes = sum(np.asarray(out[k]).nbytes
+                     for k in ("state_imgs", "option_imgs", "grid_img"))
+        link_mbps = nbytes / max(time.time() - t0, 1e-9) / 1e6
         gen.close()
-        return device_sps, len(metas) / dt_e2e
+
+        # timed run 2 — end-to-end full export (all state/option/grid PNGs
+        # + meta/coco JSON), block-sparse transfer codec on: the
+        # device->host link is the e2e bottleneck on this host
+        print("bench: end-to-end run (sparse)...", file=sys.stderr, flush=True)
+        cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
+                         category_weights=dict(BENCH_WEIGHTS),
+                         sparse_transfer=True)
+        gen2 = RPMGeneratorTPU(cfg2)
+        gen2.warmup(ids)
+        t0 = time.time()
+        metas = gen2.generate_ids(ids)
+        gen2._pool.drain()
+        e2e_sps = len(metas) / (time.time() - t0)
+        gen2.close()
+        shutil.rmtree(out_dir + "_s", ignore_errors=True)
+
+        # timed run 3 — grid-only export (the composed puzzle is the
+        # training artifact; per-frame images never cross the link)
+        print("bench: grid-only e2e run...", file=sys.stderr, flush=True)
+        cfg3 = GenConfig(out_dir=out_dir + "_g", seed=123, batch_size=32,
+                         category_weights=dict(BENCH_WEIGHTS),
+                         sparse_transfer=True, grid_only=True)
+        gen3 = RPMGeneratorTPU(cfg3)
+        gen3.warmup(ids)
+        t0 = time.time()
+        metas3 = gen3.generate_ids(ids)
+        gen3._pool.drain()
+        e2e_grid_only_sps = len(metas3) / (time.time() - t0)
+        gen3.close()
+        shutil.rmtree(out_dir + "_g", ignore_errors=True)
+        return (device_sps, device_sps_blocking, e2e_sps,
+                e2e_grid_only_sps, link_mbps)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
+    """Multigraph (single-image) pipeline throughput: device imgs/s
+    (latency-amortized) and e2e imgs/s incl. PNG+JSON export at dpi 200
+    (the reference's second pipeline,
+    /root/reference/multigraph_generation/cli.py:30-72)."""
+    import numpy as np
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        build_scene_batch)
+
+    gen = GeometryGeneratorTPU()
+    if gen.renderer == "pallas":
+        from reasoning_image_generation_tpu.models.multigraph.renderer_pallas \
+            import render_scene_batch_pallas as render
+    else:
+        from reasoning_image_generation_tpu.models.multigraph.renderer \
+            import render_scene_batch as render
+
+    seeds = list(range(B))
+    modes = ["adjacent"] * B
+    batch, _metas = build_scene_batch(seeds, modes, gen.global_scale)
+
+    print("bench: multigraph device run...", file=sys.stderr, flush=True)
+    imgs = render(batch, dpi=dpi)
+    _ = np.asarray(imgs.reshape(-1)[0])  # compile + sync
+    iters = 10
+    t0 = time.perf_counter()
+    for _i in range(iters):
+        imgs = render(batch, dpi=dpi)
+    _ = np.asarray(imgs.reshape(-1)[0])
+    device_ips = B * iters / (time.perf_counter() - t0)
+
+    print("bench: multigraph e2e run...", file=sys.stderr, flush=True)
+    out_dir = tempfile.mkdtemp(prefix="rig_bench_mg_")
+    try:
+        t0 = time.time()
+        n = 0
+        for bi in range(n_batches):
+            s = [bi * B + i for i in range(B)]
+            gen.generate_batch(
+                s, modes,
+                [os.path.join(out_dir, f"{i}_adjacent.png") for i in s],
+                [os.path.join(out_dir, f"{i}_adjacent.json") for i in s],
+                dpi=dpi)
+            n += B
+        gen._pool.drain()
+        e2e_ips = n / (time.time() - t0)
+    finally:
+        gen.close()
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return device_ips, e2e_ips
 
 
 def main():
@@ -83,7 +190,8 @@ def main():
     last_err = None
     for attempt in range(3):
         try:
-            device_sps, e2e_sps = _run_once()
+            (device_sps, device_sps_blocking, e2e_sps,
+             e2e_grid_only_sps, link_mbps) = _run_once()
             break
         except Exception as e:  # pragma: no cover
             last_err = e
@@ -93,13 +201,25 @@ def main():
     else:
         raise last_err
 
+    try:
+        mg_device_ips, mg_e2e_ips = _run_multigraph()
+    except Exception as e:  # pragma: no cover
+        print(f"bench: multigraph failed: {e}", file=sys.stderr, flush=True)
+        mg_device_ips = mg_e2e_ips = 0.0
+
     print(json.dumps({
         "metric": "rpm_samples_per_sec_device",
         "value": round(device_sps, 3),
         "unit": "samples/s",
         "vs_baseline": round(device_sps / REFERENCE_BASELINE_SPS, 2),
+        "device_sps_blocking": round(device_sps_blocking, 3),
         "e2e_samples_per_sec": round(e2e_sps, 3),
         "e2e_vs_baseline": round(e2e_sps / REFERENCE_BASELINE_SPS, 2),
+        "e2e_grid_only_sps": round(e2e_grid_only_sps, 3),
+        "host_link_mbps": round(link_mbps, 2),
+        "mg_imgs_per_sec_device": round(mg_device_ips, 3),
+        "mg_e2e_imgs_per_sec": round(mg_e2e_ips, 3),
+        "mg_vs_baseline": round(mg_device_ips / REFERENCE_MG_BASELINE_IPS, 2),
     }))
 
 
