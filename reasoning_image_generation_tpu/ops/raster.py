@@ -169,9 +169,16 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
     half = size * 0.5
     stroke_w = jnp.maximum(1.0, jnp.round(stroke))
 
-    # toroidal wrap: evaluate at the nearest periodic copy
+    # toroidal wrap: evaluate at the nearest periodic copy.  The reference
+    # redraws copies only at the 3x3 offsets {-W,0,W}x{-H,0,H}
+    # (src/shapes.py:369-375), so an element whose center has drifted >= 2
+    # canvases away (possible: rule_translate never clips centers,
+    # src/rules.py:160-173) is NOT drawn — `wrap_ok` gates those out to
+    # stay pixel-faithful.
     pxw = cx + jnp.mod(px - cx + W * 0.5, float(W)) - W * 0.5
     pyw = cy + jnp.mod(py - cy + H * 0.5, float(H)) - H * 0.5
+    wrap_ok = ((jnp.abs(px - pxw) <= float(W)) &
+               (jnp.abs(py - pyw) <= float(H)))
 
     # ---- generic polygon path (9 of 11 kinds) ----
     verts, nv = element_verts(kind, size, angle, flip_h, flip_v, cx, cy)
@@ -229,7 +236,7 @@ def composite_element(canvas, px, py, W, H, kind, size, fill, stroke,
                              _stroke_alpha(d0, stroke_w)))
     s1 = _stroke_alpha(d1, stroke_w) * has_p1
 
-    valid_f = valid.astype(jnp.float32)
+    valid_f = valid.astype(jnp.float32) * wrap_ok.astype(jnp.float32)
     fill_f = fill.astype(jnp.float32) * valid_f
 
     # painter's order inside the element: part0 fill, part0 stroke,

@@ -231,12 +231,20 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
                         jnp.clip((stroke + 0.28 - jnp.abs(d_in)) * (1.0 / 1.28),
                                  0.0, 1.0))
 
+                # reference wrap parity: copies exist only at the 3x3
+                # offsets (src/shapes.py:369-375) — pixels whose nearest
+                # periodic copy is >= 2 canvases from the element's true
+                # position are not covered (see raster.composite_element)
+                wrap_ok = ((jnp.abs(px_tile - pxw_t) <= float(W)) &
+                           (jnp.abs(py_col - pyw_t) <= float(H))
+                           ).astype(jnp.float32)
+
                 def composite():
-                    a = fa[:] * meta_ref[0, e, M_FILL]
+                    a = fa[:] * meta_ref[0, e, M_FILL] * wrap_ok
                     racc[:] = racc[:] * (1.0 - a) + meta_ref[0, e, M_R] * a
                     gacc[:] = gacc[:] * (1.0 - a) + meta_ref[0, e, M_G] * a
                     bacc[:] = bacc[:] * (1.0 - a) + meta_ref[0, e, M_B] * a
-                    s = sa[:]
+                    s = sa[:] * wrap_ok
                     racc[:] = racc[:] * (1.0 - s)
                     gacc[:] = gacc[:] * (1.0 - s)
                     bacc[:] = bacc[:] * (1.0 - s)

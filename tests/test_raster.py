@@ -119,6 +119,22 @@ def test_wraparound_parity():
     assert s > 0.99, f"ssim={s:.4f}"
 
 
+def test_far_offcanvas_element_not_drawn():
+    """Reference wrap parity: copies exist only at the 3x3 canvas offsets
+    (reference src/shapes.py:369-375), and rule_translate never clips
+    centers (src/rules.py:160-173), so an element >= 2 canvases away must
+    render NOTHING — not its mod-wrapped copy."""
+    els = [_elem("plus", size=150, center=(230, 1334), fill=False, stroke=1)]
+    ours = _render_ours(els)
+    ref = render_reference(els)
+    np.testing.assert_array_equal(ours, ref)  # both blank canvases
+    assert (ours == 255).all()
+    # exactly one canvas away still wraps onto the canvas (copy at -H)
+    els2 = [_elem("plus", size=150, center=(230, 512 + 60))]
+    s = ssim(_render_ours(els2), render_reference(els2))
+    assert s > 0.99, f"ssim={s:.4f}"
+
+
 def test_grid_mode_parity():
     els = [_elem("pentagon", size=90, center=(100, 420)),
            _elem("heart", size=90, center=(300, 128))]

@@ -47,6 +47,27 @@ def test_prepare_render_data_grid_snap():
     assert abs(meta[0, 9] - int((2 + 0.5) * cell)) < 1.0
 
 
+def test_kernel_parity_interpret_cpu():
+    """Interpret-mode CPU pin for the RPM kernel (no TPU needed): one
+    256x64 tile, polygon + circle + a far-off-canvas element that the
+    wrap gate must suppress.  maxdiff 0 vs ops/raster.render_frame."""
+    import jax.numpy as jnp
+    from reasoning_image_generation_tpu.ops.raster import render_frame
+    from reasoning_image_generation_tpu.ops.raster_pallas import render_batch_pallas
+
+    els = [_elem("hexagon", 40, (60, 32), angle=30.0),
+           _elem("circle", 30, (140, 30), color=(200, 30, 30)),
+           _elem("plus", 40, (200, 32 + 2 * 64), angle=0.0),   # 2 canvases off
+           _elem("star", 36, (250, 40), color=(30, 160, 60))]  # wraps over x=256
+    st = dicts_to_state(els, 8)
+    batch = jax.tree.map(lambda a: a[None], st)
+    for ug in (False, True):
+        got = np.asarray(render_batch_pallas(
+            batch, 256, 64, np.array([ug]), interpret=True))[0]
+        ref = np.asarray(render_frame(st, 256, 64, use_grid=ug))
+        assert (got == ref).all(), f"use_grid={ug}"
+
+
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs a TPU")
 def test_kernel_bit_parity_all_kinds():
     import jax.numpy as jnp
