@@ -56,7 +56,7 @@ def test_grid_composition_parity(tmp_path):
         assert ours_c["bbox"] == ref_c["bbox"]
         assert ours_c["label"] == ref_c["label"]
     s = ssim(ours, ref)
-    assert s > 0.97, f"grid ssim={s:.4f}"
+    assert s > 0.99, f"grid ssim={s:.4f}"
 
 
 def test_grid_composition_parity_L6(tmp_path):
@@ -69,4 +69,4 @@ def test_grid_composition_parity_L6(tmp_path):
                                                  tmpdir=str(tmp_path))
     assert layout.grid_h == grid_h and layout.cell_size == cell
     s = ssim(ours, ref)
-    assert s > 0.97, f"grid ssim={s:.4f}"
+    assert s > 0.99, f"grid ssim={s:.4f}"

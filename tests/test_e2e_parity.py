@@ -2,7 +2,7 @@
 """Strongest parity check: generate complete samples with OUR pipeline, then
 re-render the SAME element states with the reference's cv2 renderer and
 compose with the reference's layout code.  The two grid images must agree to
-SSIM > 0.97 (AA models differ slightly; geometry and composition must not)."""
+SSIM > 0.99 (measured: states >= 0.9994, grids >= 0.9996 after the 3x3 wrap-copy gate)."""
 import json
 import os
 import sys
@@ -42,7 +42,7 @@ def test_states_rerendered_by_reference_match(sample):
         ours = cv2.imread(seq["state_path"])[..., ::-1]
         ref = render_reference(seq["elements"], use_grid=bool(ug))
         s = ssim(ours, ref)
-        assert s > 0.97, f"state {t}: ssim={s:.4f}"
+        assert s > 0.99, f"state {t}: ssim={s:.4f}"
 
 
 def test_full_grid_rerendered_by_reference_matches(sample):
@@ -74,4 +74,4 @@ def test_full_grid_rerendered_by_reference_matches(sample):
     ours = cv2.imread(m["grid_path"])[..., ::-1]
     assert ours.shape == ref_grid.shape
     s = ssim(ours, ref_grid)
-    assert s > 0.97, f"grid ssim={s:.4f}"
+    assert s > 0.99, f"grid ssim={s:.4f}"
