@@ -53,6 +53,22 @@ def parse_args(argv=None):
                    help="export only grid_%%06d.png + meta/coco; per-frame "
                         "state/option images never leave the device "
                         "(~9x fewer bytes across the host link)")
+    # multi-host scale-out (the reference scales by forking workers over
+    # sample ranges, src/cli.py:85-129; the TPU-native equivalent is one
+    # process per host, each driving its local chips over a strided id
+    # shard — see parallel/mesh.py)
+    p.add_argument("--num_hosts", type=int, default=1,
+                   help="total host processes generating into out_dir; "
+                        "this host writes the ids where "
+                        "id %% num_hosts == host_id")
+    p.add_argument("--host_id", type=int, default=0,
+                   help="this host's rank in [0, num_hosts)")
+    p.add_argument("--coordinator", type=str, default=None,
+                   help="host:port of the jax.distributed coordinator; "
+                        "when given, chips across hosts form one system "
+                        "(enables the cross-host dedup collective). "
+                        "Without it hosts run independently — dedup is "
+                        "per-host, export shards are still disjoint.")
     return p.parse_args(argv)
 
 
@@ -74,10 +90,50 @@ def enable_compilation_cache():
         pass
 
 
+def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None):
+    """Merge per-host index shards (index_host*.json) into index.json.
+    Safe to run on any host once all hosts finished; id-sorted like the
+    reference's single index (reference src/cli.py:49-52).
+
+    With `dedup_threshold`, additionally runs the corpus dedup ACROSS
+    hosts: every meta carries its grid pHash, so the same greedy
+    first-wins-by-id pass the generator applies on-device
+    (ops/phash.dedup_keep_mask) marks cross-host near-duplicates here —
+    deterministic, independent of host count, and requiring no lockstep
+    collective between otherwise-independent hosts."""
+    import glob
+    metas = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "index_host*.json"))):
+        with open(path, encoding="utf-8") as f:
+            metas.extend(json.load(f))
+    metas.sort(key=lambda m: m.get("id", m.get("index", 0)))
+    if dedup_threshold is not None:
+        kept = []  # (hash bytes) of kept samples, in id order
+        for m in metas:
+            h = m.get("grid_phash")
+            if m.get("duplicate") or m.get("error") or h is None:
+                continue
+            hb = bytes.fromhex(h)
+            dup = any(
+                sum(bin(a ^ b).count("1") for a, b in zip(hb, k))
+                <= dedup_threshold for k in kept)
+            if dup:
+                m["duplicate"] = True
+            else:
+                kept.append(hb)
+    write_index(out_dir, metas)
+    return metas
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
     enable_compilation_cache()
+    if args.coordinator:
+        from .parallel.mesh import distributed_init
+        distributed_init(coordinator_address=args.coordinator,
+                         num_processes=args.num_hosts,
+                         process_id=args.host_id)
     from .utils.config import GenConfig
     from .models.rpm.generator import RPMGeneratorTPU
 
@@ -108,16 +164,31 @@ def main(argv=None):
                           use_threads=workers != 0,
                           show_labels=not args.no_labels,
                           show_border=not args.no_border)
+    ids = list(range(args.n))
+    if args.num_hosts > 1:
+        from .parallel.mesh import host_shard_ids
+        ids = host_shard_ids(ids, process_index=args.host_id,
+                             process_count=args.num_hosts)
     t0 = time.time()
-    print(f"Start generating {args.n} samples -> {args.out_dir} "
+    print(f"Start generating {len(ids)} samples -> {args.out_dir} "
           f"(batch={args.batch_size}, seed={args.seed})")
     from .utils.profiling import trace
     with trace(args.profile_dir):
-        metas = gen.generate(args.n, progress=True, dedup=args.dedup,
-                             dedup_threshold=args.dedup_threshold,
-                             resume=args.resume)
+        metas = gen.generate_ids(ids, progress=True, dedup=args.dedup,
+                                 dedup_threshold=args.dedup_threshold,
+                                 resume=args.resume)
     gen.close()
-    write_index(args.out_dir, metas)
+    if args.num_hosts > 1:
+        shard_path = os.path.join(args.out_dir,
+                                  f"index_host{args.host_id:02d}.json")
+        with open(shard_path, "w", encoding="utf-8") as f:
+            json.dump(metas, f, ensure_ascii=False, indent=2)
+        # last host to finish leaves a merged index.json behind; the merge
+        # is idempotent so concurrent finishers just rewrite the same file
+        merge_host_indexes(args.out_dir,
+                           args.dedup_threshold if args.dedup else None)
+    else:
+        write_index(args.out_dir, metas)
     dt = time.time() - t0
     print(f"Done. Generated {len(metas)} samples to {args.out_dir} "
           f"in {dt:.2f}s ({len(metas)/dt:.2f} samples/s)")

@@ -23,7 +23,6 @@ import numpy as np
 
 from ...io.writer import ExportPool, ensure_dir
 from .scene import build_scene_batch, BOUNDS
-from .renderer import render_scene_batch
 
 _PARAM_FIELDS_DEFAULTS = {
     "rotation": 0.0, "edge_color": None, "line_width": None,
@@ -90,6 +89,37 @@ class GeometryGeneratorTPU:
             renderer = ("pallas" if plat in ("tpu", "axon") or
                         "tpu" in str(jax.devices()[0]).lower() else "jnp")
         self.renderer = renderer
+        self.mesh = self._maybe_make_mesh()
+
+    @staticmethod
+    def _maybe_make_mesh():
+        """1-D data mesh over local chips when several are visible — the
+        same scale-out the RPM generator uses (models/rpm/generator.py):
+        scenes are embarrassingly parallel over the batch axis, so the
+        renderer runs under shard_map with zero collectives."""
+        import jax
+        from ...parallel.mesh import make_mesh
+        n = len(jax.local_devices())
+        return make_mesh(n) if n > 1 else None
+
+    def _render(self, batch, dpi: int):
+        if self.renderer == "pallas":
+            from .renderer_pallas import render_scene_batch_pallas as rfn
+        else:
+            from .renderer import render_scene_batch as rfn
+        n = next(iter(batch.values())).shape[0]
+        if self.mesh is not None and n % self.mesh.size == 0:
+            import jax
+            from functools import partial
+            from jax.sharding import PartitionSpec as P
+            # check_vma off: the body has no collectives, and its scan
+            # carries start from unvarying constants (raster.py fori_loop
+            # inits) which the varying-axis checker would reject
+            shard = jax.shard_map(
+                partial(rfn, dpi=dpi), mesh=self.mesh,
+                in_specs=P("data"), out_specs=P("data"), check_vma=False)
+            return np.asarray(shard(batch))
+        return np.asarray(rfn(batch, dpi=dpi))
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -106,11 +136,7 @@ class GeometryGeneratorTPU:
         params_save_paths = params_save_paths or [None] * n
 
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
-        if self.renderer == "pallas":
-            from .renderer_pallas import render_scene_batch_pallas
-            imgs = np.asarray(render_scene_batch_pallas(batch, dpi=dpi))
-        else:
-            imgs = np.asarray(render_scene_batch(batch, dpi=dpi))
+        imgs = self._render(batch, dpi)
 
         from .check import check_scene_inside, compute_scene_features
         records = []

@@ -426,6 +426,10 @@ class RPMGeneratorTPU:
                 out.get("grid_phash_full", out["grid_phash"]), len(chunk))
         else:
             keep = np.ones(len(chunk), bool)
+        # per-sample grid pHash (16 hex chars) rides along in the meta so a
+        # later merge can dedup ACROSS independent hosts without any
+        # lockstep collective (cli.merge_host_indexes)
+        phashes = np.asarray(out["grid_phash"])
 
         for b, (sid, path, use_grid) in enumerate(chunk):
             if not keep[b]:
@@ -464,6 +468,7 @@ class RPMGeneratorTPU:
                 sample_params, bool(use_grid), self.cfg.grid_size,
                 self.cfg.canvas_size, layout, self.cfg.seed,
                 (self.cfg.seed or 0) + sid)
+            meta["grid_phash"] = bytes(phashes[b]).hex()
             if self.cfg.export_json:
                 self._pool.submit_json(os.path.join(sample_dir, "meta.json"), meta)
             if self.cfg.export_coco:
