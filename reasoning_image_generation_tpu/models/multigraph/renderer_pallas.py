@@ -1,9 +1,9 @@
 # renderer_pallas.py — Pallas TPU kernel for multigraph scenes.
 """Tiled stroke rasterizer for the single-image pipeline.
 
-Same design as ops/raster_pallas.py (edge-parallel polygon evaluation,
-(artist, tile) bbox culling in pl.when) specialized to the multigraph
-semantics: outline-only shapes, SDF mask boolean algebra
+Same design as ops/raster_pallas.py (edge-loop polygon evaluation over
+SMEM vertices, (artist, tile) bbox culling in pl.when) specialized to the
+multigraph semantics: outline-only shapes, SDF mask boolean algebra
 (cut / replace_boundary), decoration line segments, optional radial
 gradient fills.
 
@@ -83,43 +83,49 @@ def _make_kernel(H: int, Wp: int):
         j = pl.program_id(2)
         y0 = (i * TH).astype(jnp.float32)
         x0 = (j * TW).astype(jnp.float32)
-        px_row = x0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1).astype(jnp.float32)
         px_t = x0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
         py_t = y0 + 0.5 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
         racc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
         gacc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
         bacc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
 
-        def poly_rows(vx_ref, vy_ref, idx, dst_ref):
-            """signed distance of the tile to polygon idx -> dst_ref."""
-            ax = jnp.swapaxes(vx_ref[0, idx].reshape(1, V), 0, 1)
-            ay = jnp.swapaxes(vy_ref[0, idx].reshape(1, V), 0, 1)
-            bx = pltpu.roll(ax, V - 1, 0)
-            by = pltpu.roll(ay, V - 1, 0)
-            ex = bx - ax
-            ey = by - ay
-            inv = 1.0 / (ex * ex + ey * ey + 1e-9)
-            safe_ey = jnp.where(ey == 0.0, 1.0, ey)
-            slope = ex / safe_ey
+        def poly_sd(vx_ref, vy_ref, idx):
+            """Signed distance of the whole tile to polygon idx.
 
-            def row(r, _):
-                pyw = y0 + 0.5 + r.astype(jnp.float32)
-                pxe = px_row - ax
-                pye = pyw - ay
+            Edge fori_loop carrying the running min-distance / crossing
+            count as full [TH, TW] vregs (vertices are SMEM scalars) —
+            same formulation as ops/raster_pallas.poly_part, measured
+            ~2.6x faster than the per-row variant it replaced (no per-row
+            dynamic-slice stores, no cross-sublane reductions)."""
+            def edge(k, carry):
+                d2, cross = carry
+                kb = jnp.where(k == V - 1, 0, k + 1)
+                ax = vx_ref[0, idx, k]
+                ay = vy_ref[0, idx, k]
+                bx = vx_ref[0, idx, kb]
+                by = vy_ref[0, idx, kb]
+                ex = bx - ax
+                ey = by - ay
+                inv = 1.0 / (ex * ex + ey * ey + 1e-9)
+                pxe = px_t - ax
+                pye = py_t - ay
                 t = jnp.clip((pxe * ex + pye * ey) * inv, 0.0, 1.0)
                 dx = pxe - t * ex
                 dy = pye - t * ey
-                d2 = jnp.min(dx * dx + dy * dy, axis=0, keepdims=True)
-                cond = (ay > pyw) != (by > pyw)
-                xint = ax + (pyw - ay) * slope
-                cross = jnp.sum((cond & (px_row < xint)).astype(jnp.int32),
-                                axis=0, keepdims=True)
-                inside = (cross % 2) == 1
-                dist = jnp.sqrt(d2)
-                dst_ref[pl.ds(r, 1), :] = jnp.where(inside, -dist, dist)
-                return 0
+                d2 = jnp.minimum(d2, dx * dx + dy * dy)
+                cond = (ay > py_t) != (by > py_t)
+                safe_ey = jnp.where(ey == 0.0, 1.0, ey)
+                xint = ax + (py_t - ay) * (ex / safe_ey)
+                cross = cross + (cond & (px_t < xint)).astype(jnp.int32)
+                return d2, cross
 
-            jax.lax.fori_loop(0, TH, row, 0)
+            d2, cross = jax.lax.fori_loop(
+                0, V, edge,
+                (jnp.full((TH, TW), jnp.inf, jnp.float32),
+                 jnp.zeros((TH, TW), jnp.int32)))
+            inside = (cross % 2) == 1
+            dist = jnp.sqrt(d2)
+            return jnp.where(inside, -dist, dist)
 
         # ---- mask union SDF (shared by base-shape stroke logic)
         mask_mode = meta_ref[0, 0, 0]
@@ -131,43 +137,7 @@ def _make_kernel(H: int, Wp: int):
             for m in range(MAX_MASKS):
                 @pl.when(meta_ref[0, 1, m] > 0.0)  # mask m valid
                 def _():
-                    # reuse racc? no: use a scoped scratch via bacc? use
-                    # dedicated strategy: compute into gacc? Instead compute
-                    # row-wise directly into msk via running min.
-                    def one(vx_ref=mvx_ref, vy_ref=mvy_ref, idx=m):
-                        ax = jnp.swapaxes(vx_ref[0, idx].reshape(1, V), 0, 1)
-                        ay = jnp.swapaxes(vy_ref[0, idx].reshape(1, V), 0, 1)
-                        bx = pltpu.roll(ax, V - 1, 0)
-                        by = pltpu.roll(ay, V - 1, 0)
-                        ex = bx - ax
-                        ey = by - ay
-                        inv = 1.0 / (ex * ex + ey * ey + 1e-9)
-                        safe_ey = jnp.where(ey == 0.0, 1.0, ey)
-                        slope = ex / safe_ey
-
-                        def row(r, _):
-                            pyw = y0 + 0.5 + r.astype(jnp.float32)
-                            pxe = px_row - ax
-                            pye = pyw - ay
-                            t = jnp.clip((pxe * ex + pye * ey) * inv, 0., 1.)
-                            dx = pxe - t * ex
-                            dy = pye - t * ey
-                            d2 = jnp.min(dx * dx + dy * dy, axis=0,
-                                         keepdims=True)
-                            cond = (ay > pyw) != (by > pyw)
-                            xint = ax + (pyw - ay) * slope
-                            cross = jnp.sum(
-                                (cond & (px_row < xint)).astype(jnp.int32),
-                                axis=0, keepdims=True)
-                            inside = (cross % 2) == 1
-                            dist = jnp.sqrt(d2)
-                            sd = jnp.where(inside, -dist, dist)
-                            msk[pl.ds(r, 1), :] = jnp.minimum(
-                                msk[pl.ds(r, 1), :], sd)
-                            return 0
-
-                        jax.lax.fori_loop(0, TH, row, 0)
-                    one()
+                    msk[:] = jnp.minimum(msk[:], poly_sd(mvx_ref, mvy_ref, m))
 
         # ---- shapes (stroke only, mask algebra on shape 0)
         for s in range(MAX_SHAPES):
@@ -185,11 +155,9 @@ def _make_kernel(H: int, Wp: int):
             def _():
                 lw = meta_ref[0, 7, s]
                 alpha = meta_ref[0, 8, s]
-                # signed distance into gacc-free scratch: reuse `msk`? no —
-                # masks still needed. Use a run_scoped scratch.
-                def body(sd_ref):
-                    poly_rows(svx_ref, svy_ref, s, sd_ref)
-                    sd = sd_ref[:]
+
+                def body():
+                    sd = poly_sd(svx_ref, svy_ref, s)
                     stroke = alpha * jnp.clip(
                         (lw * 0.5 + 0.5 - jnp.abs(sd)), 0.0, 1.0)
                     # arithmetic masking (Mosaic can't legalize a select of
@@ -233,7 +201,7 @@ def _make_kernel(H: int, Wp: int):
                         gacc[:] = gacc[:] * (1.0 - ma)
                         bacc[:] = bacc[:] * (1.0 - ma)
 
-                pl.run_scoped(body, pltpu.VMEM((TH, TW), jnp.float32))
+                body()
 
         # ---- decoration lines (tile-wise; few segments)
         for k in range(MAX_LINES):
@@ -351,10 +319,14 @@ def render_scene_batch_pallas(batch, dpi: int = 200,
         in_specs=[
             pl.BlockSpec((1, 20, 8), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, MAX_SHAPES, NV), lambda n, i, j: (n, 0, 0)),
-            pl.BlockSpec((1, MAX_SHAPES, NV), lambda n, i, j: (n, 0, 0)),
-            pl.BlockSpec((1, MAX_MASKS, NV), lambda n, i, j: (n, 0, 0)),
-            pl.BlockSpec((1, MAX_MASKS, NV), lambda n, i, j: (n, 0, 0)),
+            pl.BlockSpec((1, MAX_SHAPES, NV), lambda n, i, j: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, MAX_SHAPES, NV), lambda n, i, j: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, MAX_MASKS, NV), lambda n, i, j: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, MAX_MASKS, NV), lambda n, i, j: (n, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, MAX_LINES, 16), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
         ],

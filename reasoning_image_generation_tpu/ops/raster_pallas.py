@@ -8,12 +8,13 @@ and adds two structural optimizations:
 1. **(element, tile) culling** — a scalar bbox-vs-tile test (in the
    wrap-around metric) wrapped in `pl.when` skips whole distance-field
    evaluations; elements cover only a fraction of the canvas.
-2. **edge-parallel polygon evaluation** — vertices are transposed once per
-   (element, tile) into sublane-major [64, 1] vectors, and a fori_loop over
-   pixel rows evaluates all 64 edges x TW pixels per iteration as pure
-   vector ops ([64, TW] vregs, no scalar loads in the inner loop).  A
-   scalar-sequential per-edge loop was measured ~10x slower than the XLA
-   path; this formulation reaches full VPU utilization.
+2. **edge-loop polygon evaluation** — vertices live in SMEM; a fori_loop
+   over the polygon's edges (8 for most kinds, 64 for heart/rounded_square)
+   evaluates distance + crossing parity for the whole [TH, TW] tile per
+   iteration as full-width vector ops, carrying the running min-distance
+   and crossing count in vregs.  Measured 2.6x faster than a row-sequential
+   formulation ([nv, TW] work per pixel row + per-row stores), which itself
+   was ~10x faster than a fully scalar per-edge loop.
 
 Per tile, elements composite in painter's order exactly like
 ops/raster.composite_element: hard fills, cv2-calibrated AA stroke bands,
@@ -37,7 +38,7 @@ from .raster import element_verts
 
 NMETA = 20
 TH = 64
-TW = 256
+TW = 512
 
 # M_SMALL: part-0 polygon has <= SMALL_V real edges, so the kernel can run
 # its edge pass on an 8-sublane slice instead of all 64 padded edges (the
@@ -124,7 +125,6 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
         j = pl.program_id(2)
         y0 = (i * TH).astype(jnp.float32)
         x0 = (j * TW).astype(jnp.float32)
-        px = x0 + jax.lax.broadcasted_iota(jnp.int32, (1, TW), 1).astype(jnp.float32)
         py_col = y0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(jnp.float32)
         px_tile = x0 + jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(jnp.float32)
         racc[:] = jnp.full((TH, TW), 255.0, jnp.float32)
@@ -154,49 +154,55 @@ def _make_kernel(E: int, W: int, H: int, grid_size: int):
                 # wrapped pixel coords (tile-wise)
                 pxw_t = cx + jnp.mod(px_tile - cx + W * 0.5, float(W)) - W * 0.5
                 pyw_t = cy + jnp.mod(py_col - cy + H * 0.5, float(H)) - H * 0.5
-                pxw_row = cx + jnp.mod(px - cx + W * 0.5, float(W)) - W * 0.5
 
                 def poly_part(part, nv_e):
-                    """Edge-parallel polygon pass -> writes fa, sa.
+                    """Edge-loop polygon pass -> writes fa, sa.
 
-                    nv_e ∈ {SMALL_V, V}: shapes with few real edges run on
-                    an 8-sublane slice of the padded vertex table — the
-                    pad repeats vertex 0, so the slice is bit-identical
-                    while doing 8x less vector work per row."""
-                    ax = jnp.swapaxes(
-                        vx_ref[0, e, part, :nv_e].reshape(1, nv_e), 0, 1)
-                    ay = jnp.swapaxes(
-                        vy_ref[0, e, part, :nv_e].reshape(1, nv_e), 0, 1)
-                    bx = pltpu.roll(ax, nv_e - 1, 0)
-                    by = pltpu.roll(ay, nv_e - 1, 0)
-                    ex = bx - ax
-                    ey = by - ay
-                    inv = 1.0 / (ex * ex + ey * ey + 1e-9)
-                    safe_ey = jnp.where(ey == 0.0, 1.0, ey)
-                    inv_ey = ex / safe_ey
+                    Loops over the nv_e edges, each iteration evaluating
+                    the full [TH, TW] tile as wide vector ops (vertex
+                    coords are SMEM scalars).  nv_e ∈ {SMALL_V, V}: shapes
+                    with few real edges trip only 8 times — the pad
+                    repeats vertex 0, whose degenerate edges contribute
+                    the distance-to-vertex-0 (harmless in the min) and no
+                    crossings, so the truncation is bit-identical.
 
-                    def row(r, _):
-                        yr = y0 + r.astype(jnp.float32)
-                        pyw = cy + jnp.mod(yr - cy + H * 0.5, float(H)) - H * 0.5
-                        pxe = pxw_row - ax          # [V, TW]
-                        pye = pyw - ay              # [V, 1] -> broadcast
+                    Replaced a row-sequential formulation (TH fori_loop
+                    iterations of [nv_e, TW] work + per-row stores) that
+                    measured 2.6x slower on v5e (34.3 -> 13.3 ms per 256
+                    mixed frames): 8x fewer loop trips, full-vreg [TH,TW]
+                    operands, and two whole-tile stores instead of 2*TH
+                    dynamic-slice stores."""
+                    def edge(k, carry):
+                        d2, cross = carry
+                        kb = jnp.where(k == nv_e - 1, 0, k + 1)
+                        ax = vx_ref[0, e, part, k]
+                        ay = vy_ref[0, e, part, k]
+                        bx = vx_ref[0, e, part, kb]
+                        by = vy_ref[0, e, part, kb]
+                        ex = bx - ax
+                        ey = by - ay
+                        inv = 1.0 / (ex * ex + ey * ey + 1e-9)
+                        pxe = pxw_t - ax
+                        pye = pyw_t - ay
                         t = jnp.clip((pxe * ex + pye * ey) * inv, 0.0, 1.0)
                         dx = pxe - t * ex
                         dy = pye - t * ey
-                        d2 = jnp.min(dx * dx + dy * dy, axis=0, keepdims=True)
-                        cond = (ay > pyw) != (by > pyw)  # [V, 1]
-                        xint = ax + (pyw - ay) * inv_ey
-                        cross = jnp.sum(
-                            (cond & (pxw_row < xint)).astype(jnp.int32),
-                            axis=0, keepdims=True)
-                        inside = (cross % 2) == 1
-                        dist = jnp.sqrt(d2)
-                        fa[pl.ds(r, 1), :] = inside.astype(jnp.float32)
-                        sa[pl.ds(r, 1), :] = jnp.clip(
-                            (stroke + 0.28 - dist) * (1.0 / 1.28), 0.0, 1.0)
-                        return 0
+                        d2 = jnp.minimum(d2, dx * dx + dy * dy)
+                        cond = (ay > pyw_t) != (by > pyw_t)
+                        safe_ey = jnp.where(ey == 0.0, 1.0, ey)
+                        xint = ax + (pyw_t - ay) * (ex / safe_ey)
+                        cross = cross + (cond & (pxw_t < xint)).astype(jnp.int32)
+                        return d2, cross
 
-                    jax.lax.fori_loop(0, TH, row, 0)
+                    d2, cross = jax.lax.fori_loop(
+                        0, nv_e, edge,
+                        (jnp.full((TH, TW), jnp.inf, jnp.float32),
+                         jnp.zeros((TH, TW), jnp.int32)))
+                    inside = (cross % 2) == 1
+                    fa[:] = inside.astype(jnp.float32)
+                    sa[:] = jnp.clip(
+                        (stroke + 0.28 - jnp.sqrt(d2)) * (1.0 / 1.28),
+                        0.0, 1.0)
 
                 small = meta_ref[0, e, M_SMALL] > 0.0
 
@@ -313,8 +319,10 @@ def render_batch_pallas(states: ElementState, W: int, H: int, use_grid,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, E, NMETA), lambda n, i, j: (n, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, E, 2, G.MAX_VERTS), lambda n, i, j: (n, 0, 0, 0)),
-            pl.BlockSpec((1, E, 2, G.MAX_VERTS), lambda n, i, j: (n, 0, 0, 0)),
+            pl.BlockSpec((1, E, 2, G.MAX_VERTS), lambda n, i, j: (n, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, E, 2, G.MAX_VERTS), lambda n, i, j: (n, 0, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, 3, TH, TW), lambda n, i, j: (n, 0, i, j)),
         out_shape=jax.ShapeDtypeStruct((N, 3, Hp, Wp), jnp.uint8),
