@@ -27,6 +27,8 @@ import time
 from collections import defaultdict
 from typing import Dict, List
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ...utils.config import GenConfig, category_leaves
@@ -37,10 +39,58 @@ from .metadata import build_sample_meta, build_coco
 logger = logging.getLogger(__name__)
 
 
-def _unpack_images(packed, raw_dev) -> np.ndarray:
-    """Reconstruct a frame tensor from the sparse codec (ops/sparse.py);
-    frames over budget fall back to fetching the raw device frame."""
-    from ...ops.sparse import unpack_frame
+RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
+            "grid_phash_full")
+
+
+@jax.jit
+def _coalesce(leaves):
+    """Fuse per-batch output arrays into ONE [B, bytes] u8 blob.
+
+    The dev relay charges per-TRANSFER, not per-byte (measured: ~2 s per
+    small array when 30 are fetched individually vs 33 ms for one array
+    carrying the same bytes; real PCIe also prefers one large DMA).  Every
+    leaf keeps its leading batch dim, so the blob stays data-sharded on a
+    mesh.  Bools widen to u8; other dtypes bitcast to bytes."""
+    parts = []
+    for a in leaves:
+        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
+        if b.dtype != jnp.uint8:
+            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
+        parts.append(b.reshape(b.shape[0], -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _blob_specs(tree):
+    """(treedef, per-leaf (shape, dtype)) for host-side reconstruction."""
+    leaves, treedef = jax.tree.flatten(tree)
+    specs = [(tuple(a.shape), np.dtype(a.dtype)) for a in leaves]
+    return leaves, treedef, specs
+
+
+def _split_blob(blob_np: np.ndarray, treedef, specs):
+    """Invert _coalesce: one host u8 [B, bytes] array -> the output tree."""
+    n = blob_np.shape[0]
+    out, off = [], 0
+    for shape, dtype in specs:
+        store = np.dtype(np.uint8) if dtype == np.bool_ else dtype
+        per = int(np.prod(shape[1:], dtype=np.int64)) * store.itemsize
+        chunk = np.ascontiguousarray(blob_np[:, off:off + per])
+        arr = chunk.view(store).reshape((n,) + shape[1:])
+        if dtype == np.bool_:
+            arr = arr.astype(bool)
+        out.append(arr)
+        off += per
+    return jax.tree.unflatten(treedef, out)
+
+
+def _unpack_images(packed, raw_dev, codec: str = "rle") -> np.ndarray:
+    """Reconstruct a frame tensor from the transfer codec (ops/rle.py or
+    ops/sparse.py); frames over budget fall back to the raw device frame."""
+    if codec == "rle":
+        from ...ops.rle import unpack_frame_rle as unpack_frame
+    else:
+        from ...ops.sparse import unpack_frame
     mask, vals, count = (np.asarray(packed[0]), np.asarray(packed[1]),
                          np.asarray(packed[2]))
     shape = raw_dev.shape  # [..., H, W, 3]
@@ -50,13 +100,22 @@ def _unpack_images(packed, raw_dev) -> np.ndarray:
     m2 = mask.reshape((-1,) + mask.shape[len(lead):])
     v2 = vals.reshape((-1,) + vals.shape[len(lead):])
     c2 = count.reshape(-1)
-    flat_raw = raw_dev.reshape((-1,) + shape[-3:])
     o2 = out.reshape((-1,) + shape[-3:])
+    capacity = v2.shape[1]
+    # overflow fallback: gather ONLY the overflowed frames on device and
+    # fetch them in ONE transfer (the relay charges per transfer —
+    # per-frame fetches measured ~60 ms each; fetching the whole raw
+    # tensor would move ~100 MB for a state batch)
+    over = np.nonzero(c2 > capacity)[0]
+    raw_sel = None
+    if over.size:
+        flat_raw = raw_dev.reshape((-1,) + shape[-3:])
+        raw_sel = np.asarray(jnp.take(flat_raw, jnp.asarray(over), axis=0))
+    for j, i in enumerate(over):
+        o2[i] = raw_sel[j]
     for i in range(o2.shape[0]):
-        try:
+        if c2[i] <= capacity:
             o2[i] = unpack_frame(m2[i], v2[i], int(c2[i]), (H, W))
-        except OverflowError:
-            o2[i] = np.asarray(flat_raw[i])
     return out
 
 
@@ -301,28 +360,29 @@ class RPMGeneratorTPU:
                                   [False] * (Bp - len(ids)))
             keys = sample_keys(self.cfg.seed or 0, np.asarray(pad_ids))
             out = pipe(keys, use_grid)  # async dispatch
-            # slice off the batch padding NOW so the slice ops enqueue right
-            # behind their own batch (not behind the next batch's compute),
-            # and start the device->host copies so transfer of batch k
-            # overlaps compute of batch k+1
             n_real = len(ids)
-            phash_full = out.get("grid_phash")  # full batch: the sharded
-            out = jax.tree.map(lambda a: a[:n_real], out)  # dedup collective
-            out["grid_phash_full"] = phash_full            # needs even shards
-            # start async host copies for everything EXCEPT raw frames when
-            # the sparse codec carries them (raw stays device-resident as
-            # the overflow fallback)
+            # big image tensors stay device-resident: raw frames are only
+            # the overflow fallback when a packed codec carries them, and
+            # the dedup collective reads the phashes on device.  EVERYTHING
+            # else fuses into one u8 blob -> a single device->host transfer
+            # per batch (the relay charges per transfer: ~2 s per small
+            # array under load vs 33 ms for one array with the same bytes);
+            # full batch, not [:n_real] — slicing happens on host so the
+            # coalesce program compiles once per leaf
             skip = set()
             if "state_imgs_packed" in out:
                 skip |= {"state_imgs", "option_imgs"}
             if "grid_img_packed" in out:
                 skip |= {"grid_img"}
-            for k, v in out.items():
-                if k in skip:
-                    continue
-                jax.tree.map(
-                    lambda a: getattr(a, "copy_to_host_async", lambda: None)(),
-                    v)
+            transfer = {k: v for k, v in out.items() if k not in skip}
+            leaves, treedef, specs = _blob_specs(transfer)
+            blob = _coalesce(leaves)
+            getattr(blob, "copy_to_host_async", lambda: None)()
+            # device-resident handles: raw frames (overflow fallback) and
+            # the full-batch phashes (the sharded dedup collective needs
+            # even shards and device residency)
+            raw = {k: out[k] for k in skip if k in out}
+            raw["grid_phash_full"] = out["grid_phash"]
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -330,7 +390,7 @@ class RPMGeneratorTPU:
                     dt = time.time() - t0
                     logger.info("generated %d samples (%.2f samples/s)",
                                 done, done / max(dt, 1e-9))
-            pending = (leaf, pipe, chunk, out)
+            pending = (leaf, pipe, chunk, (blob, treedef, specs, raw, n_real))
 
         if pending is not None:
             done += self._flush(pending, metas)
@@ -395,6 +455,19 @@ class RPMGeneratorTPU:
 
     def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
         import jax
+        if isinstance(out, tuple):
+            # coalesced form from generate_ids: ONE host transfer for the
+            # blob, then reconstruct the output tree and slice off batch
+            # padding host-side.  Device-resident raw handles are sliced
+            # lazily (touched only by overflow fallbacks / dedup).
+            blob, treedef, specs, raw, n_real = out
+            out = _split_blob(np.asarray(blob), treedef, specs)
+            out = jax.tree.map(lambda a: a[:n_real], out)
+            for k, v in raw.items():
+                if k == "grid_phash_full":
+                    out[k] = v  # full batch: sharded dedup needs even shards
+                else:
+                    out[k] = jax.tree.map(lambda a: a[:n_real], v)
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
@@ -403,18 +476,19 @@ class RPMGeneratorTPU:
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
+        codec = getattr(self.cfg, "transfer_codec", "rle")
         if "grid_img_packed" in out:
             grid_imgs = _unpack_images(out["grid_img_packed"],
-                                       out["grid_img"])
+                                       out["grid_img"], codec)
         else:
             grid_imgs = np.asarray(out["grid_img"])
         if grid_only:
             state_imgs = option_imgs = None
         elif "state_imgs_packed" in out:
             state_imgs = _unpack_images(out["state_imgs_packed"],
-                                        out["state_imgs"])
+                                        out["state_imgs"], codec)
             option_imgs = _unpack_images(out["option_imgs_packed"],
-                                         out["option_imgs"])
+                                         out["option_imgs"], codec)
         else:
             state_imgs = np.asarray(out["state_imgs"])
             option_imgs = np.asarray(out["option_imgs"])

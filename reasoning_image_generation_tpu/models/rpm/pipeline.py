@@ -290,19 +290,30 @@ class LeafPipeline:
             if not getattr(cfg, "grid_only", False):
                 out["state_imgs"] = state_imgs
                 out["option_imgs"] = option_imgs
-            # sparse transfer codec: pack frames on device so exports move
-            # ~3-4x fewer bytes over the host link (ops/sparse.py); raw
-            # frames stay device-resident for the rare overflow fallback
+            # transfer codec: pack frames on device so exports move ~4x
+            # ('sparse') to ~15x ('rle') fewer bytes over the host link;
+            # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
-                from ...ops.sparse import n_blocks
-                frac = getattr(cfg, "sparse_budget", 0.35)
-                gfrac = getattr(cfg, "sparse_budget_grid", 0.55)
-                budget = int(n_blocks(H, W) * frac)
-                gb = int(n_blocks(layout.grid_h, W) * gfrac)
+                codec = getattr(cfg, "transfer_codec", "rle")
+                if codec == "rle":
+                    from ...ops.rle import (pack_batch_rle, default_budget,
+                                            default_grid_budget)
+                    budget = (getattr(cfg, "rle_budget", 0)
+                              or default_budget(H, W))
+                    gb = (getattr(cfg, "rle_budget_grid", 0)
+                          or default_grid_budget(layout.grid_h, W))
+                    pack = pack_batch_rle
+                else:
+                    from ...ops.sparse import n_blocks
+                    frac = getattr(cfg, "sparse_budget", 0.35)
+                    gfrac = getattr(cfg, "sparse_budget_grid", 0.55)
+                    budget = int(n_blocks(H, W) * frac)
+                    gb = int(n_blocks(layout.grid_h, W) * gfrac)
+                    pack = pack_batch
                 if "state_imgs" in out:
-                    out["state_imgs_packed"] = pack_batch(state_imgs, budget)
-                    out["option_imgs_packed"] = pack_batch(option_imgs, budget)
-                out["grid_img_packed"] = pack_batch(grids, gb)
+                    out["state_imgs_packed"] = pack(state_imgs, budget)
+                    out["option_imgs_packed"] = pack(option_imgs, budget)
+                out["grid_img_packed"] = pack(grids, gb)
             return out
 
         if mesh is not None:

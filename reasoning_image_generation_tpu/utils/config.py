@@ -109,6 +109,16 @@ class GenConfig:
     # composed grids are denser (borders, labels, resized cells): measured
     # p99 = 0.46, max = 0.47
     sparse_budget_grid: float = 0.55
+    # which codec sparse_transfer uses: 'rle' (row-major run-length over
+    # packed RGB, ops/rle.py — ~4x fewer bytes than 'sparse' on measured
+    # outputs) or 'sparse' (8x8 block codec, ops/sparse.py)
+    transfer_codec: str = "rle"
+    # RLE run budgets (max runs per frame; overflow falls back to a raw
+    # transfer).  Measured: state/option frames p50 ~2.4k runs, max 3.2k;
+    # composed grids max ~8.2k.  0 = defaults: H*W/32 for frames
+    # (default_budget), grid_h*W/12 for grids (default_grid_budget)
+    rle_budget: int = 0
+    rle_budget_grid: int = 0
     # export only grid_%06d.png + meta/coco (per-frame state/option images
     # never leave the device): ~9x fewer bytes across the host link for
     # consumers that train on the composed puzzle alone

@@ -63,7 +63,8 @@ def test_generator_end_to_end_with_sparse(tmp_path):
     from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
     import cv2, os
     cfg = GenConfig(out_dir=str(tmp_path), seed=2, batch_size=2,
-                    canvas_size=(128, 128), sparse_transfer=True)
+                    canvas_size=(128, 128), sparse_transfer=True,
+                    transfer_codec="sparse")
     gen = RPMGeneratorTPU(cfg)
     metas = gen.generate(2)
     gen.close()
