@@ -1,0 +1,82 @@
+# transfer.py — device->host transfer helpers shared by both pipelines.
+"""The dev relay (and PCIe DMA generally) charges per TRANSFER, not per
+byte: 30 small array fetches measured ~2 s each under load while one
+array carrying the same bytes took 33 ms (docs/PERFORMANCE.md).  These
+helpers fuse a whole output tree into ONE u8 blob on device and split it
+back on host, and reconstruct image tensors from the RLE / block-sparse
+codecs with a single gathered fetch for budget-overflow frames."""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.jit
+def coalesce(leaves):
+    """Fuse per-batch output arrays into ONE [B, bytes] u8 blob.
+
+    Every leaf keeps its leading batch dim, so the blob stays
+    data-sharded on a mesh.  Bools widen to u8; other dtypes bitcast to
+    bytes."""
+    parts = []
+    for a in leaves:
+        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
+        if b.dtype != jnp.uint8:
+            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
+        parts.append(b.reshape(b.shape[0], -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def blob_specs(tree):
+    """(leaves, treedef, per-leaf (shape, dtype)) for host reconstruction."""
+    leaves, treedef = jax.tree.flatten(tree)
+    specs = [(tuple(a.shape), np.dtype(a.dtype)) for a in leaves]
+    return leaves, treedef, specs
+
+
+def split_blob(blob_np: np.ndarray, treedef, specs):
+    """Invert `coalesce`: one host u8 [B, bytes] array -> the output tree."""
+    n = blob_np.shape[0]
+    out, off = [], 0
+    for shape, dtype in specs:
+        store = np.dtype(np.uint8) if dtype == np.bool_ else dtype
+        per = int(np.prod(shape[1:], dtype=np.int64)) * store.itemsize
+        chunk = np.ascontiguousarray(blob_np[:, off:off + per])
+        arr = chunk.view(store).reshape((n,) + shape[1:])
+        if dtype == np.bool_:
+            arr = arr.astype(bool)
+        out.append(arr)
+        off += per
+    return jax.tree.unflatten(treedef, out)
+
+
+def unpack_images(packed, raw_dev, codec: str = "rle") -> np.ndarray:
+    """Reconstruct a frame tensor from the transfer codec (ops/rle.py or
+    ops/sparse.py); frames over budget fall back to the raw device frame,
+    all overflowed frames gathered and fetched in ONE transfer."""
+    if codec == "rle":
+        from ..ops.rle import unpack_frame_rle as unpack_frame
+    else:
+        from ..ops.sparse import unpack_frame
+    mask, vals, count = (np.asarray(packed[0]), np.asarray(packed[1]),
+                         np.asarray(packed[2]))
+    shape = raw_dev.shape  # [..., H, W, 3]
+    H, W = shape[-3], shape[-2]
+    lead = shape[:-3]
+    out = np.empty(shape, np.uint8)
+    m2 = mask.reshape((-1,) + mask.shape[len(lead):])
+    v2 = vals.reshape((-1,) + vals.shape[len(lead):])
+    c2 = count.reshape(-1)
+    o2 = out.reshape((-1,) + shape[-3:])
+    capacity = v2.shape[1]
+    over = np.nonzero(c2 > capacity)[0]
+    if over.size:
+        flat_raw = raw_dev.reshape((-1,) + shape[-3:])
+        raw_sel = np.asarray(jnp.take(flat_raw, jnp.asarray(over), axis=0))
+        for j, i in enumerate(over):
+            o2[i] = raw_sel[j]
+    for i in range(o2.shape[0]):
+        if c2[i] <= capacity:
+            o2[i] = unpack_frame(m2[i], v2[i], int(c2[i]), (H, W))
+    return out

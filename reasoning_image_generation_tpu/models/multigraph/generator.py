@@ -115,11 +115,25 @@ class GeometryGeneratorTPU:
             # check_vma off: the body has no collectives, and its scan
             # carries start from unvarying constants (raster.py fori_loop
             # inits) which the varying-axis checker would reject
-            shard = jax.shard_map(
+            imgs = jax.shard_map(
                 partial(rfn, dpi=dpi), mesh=self.mesh,
-                in_specs=P("data"), out_specs=P("data"), check_vma=False)
-            return np.asarray(shard(batch))
-        return np.asarray(rfn(batch, dpi=dpi))
+                in_specs=P("data"), out_specs=P("data"),
+                check_vma=False)(batch)
+        else:
+            imgs = rfn(batch, dpi=dpi)
+        # device->host: RLE-pack on device and move ONE coalesced blob —
+        # a raw 1600^2 batch is 7.7 MB/img on a relay that charges per
+        # transfer and gives 4-28 MB/s (io/transfer.py); outline scenes
+        # RLE to ~1-3% of raw.  Overflow falls back to gathered raw frames.
+        from ...io.transfer import (coalesce, blob_specs, split_blob,
+                                    unpack_images)
+        from ...ops.rle import pack_batch_rle, default_budget
+        H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
+        packed = pack_batch_rle(imgs, default_budget(H, W))
+        leaves, treedef, specs = blob_specs(packed)
+        blob = np.asarray(coalesce(leaves))
+        packed_np = split_blob(blob, treedef, specs)
+        return unpack_images(packed_np, imgs, "rle")
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,

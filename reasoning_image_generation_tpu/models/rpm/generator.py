@@ -28,7 +28,6 @@ from collections import defaultdict
 from typing import Dict, List
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ...utils.config import GenConfig, category_leaves
@@ -42,81 +41,11 @@ logger = logging.getLogger(__name__)
 RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
             "grid_phash_full")
 
-
-@jax.jit
-def _coalesce(leaves):
-    """Fuse per-batch output arrays into ONE [B, bytes] u8 blob.
-
-    The dev relay charges per-TRANSFER, not per-byte (measured: ~2 s per
-    small array when 30 are fetched individually vs 33 ms for one array
-    carrying the same bytes; real PCIe also prefers one large DMA).  Every
-    leaf keeps its leading batch dim, so the blob stays data-sharded on a
-    mesh.  Bools widen to u8; other dtypes bitcast to bytes."""
-    parts = []
-    for a in leaves:
-        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
-        if b.dtype != jnp.uint8:
-            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
-        parts.append(b.reshape(b.shape[0], -1))
-    return jnp.concatenate(parts, axis=1)
-
-
-def _blob_specs(tree):
-    """(treedef, per-leaf (shape, dtype)) for host-side reconstruction."""
-    leaves, treedef = jax.tree.flatten(tree)
-    specs = [(tuple(a.shape), np.dtype(a.dtype)) for a in leaves]
-    return leaves, treedef, specs
-
-
-def _split_blob(blob_np: np.ndarray, treedef, specs):
-    """Invert _coalesce: one host u8 [B, bytes] array -> the output tree."""
-    n = blob_np.shape[0]
-    out, off = [], 0
-    for shape, dtype in specs:
-        store = np.dtype(np.uint8) if dtype == np.bool_ else dtype
-        per = int(np.prod(shape[1:], dtype=np.int64)) * store.itemsize
-        chunk = np.ascontiguousarray(blob_np[:, off:off + per])
-        arr = chunk.view(store).reshape((n,) + shape[1:])
-        if dtype == np.bool_:
-            arr = arr.astype(bool)
-        out.append(arr)
-        off += per
-    return jax.tree.unflatten(treedef, out)
-
-
-def _unpack_images(packed, raw_dev, codec: str = "rle") -> np.ndarray:
-    """Reconstruct a frame tensor from the transfer codec (ops/rle.py or
-    ops/sparse.py); frames over budget fall back to the raw device frame."""
-    if codec == "rle":
-        from ...ops.rle import unpack_frame_rle as unpack_frame
-    else:
-        from ...ops.sparse import unpack_frame
-    mask, vals, count = (np.asarray(packed[0]), np.asarray(packed[1]),
-                         np.asarray(packed[2]))
-    shape = raw_dev.shape  # [..., H, W, 3]
-    H, W = shape[-3], shape[-2]
-    lead = shape[:-3]
-    out = np.empty(shape, np.uint8)
-    m2 = mask.reshape((-1,) + mask.shape[len(lead):])
-    v2 = vals.reshape((-1,) + vals.shape[len(lead):])
-    c2 = count.reshape(-1)
-    o2 = out.reshape((-1,) + shape[-3:])
-    capacity = v2.shape[1]
-    # overflow fallback: gather ONLY the overflowed frames on device and
-    # fetch them in ONE transfer (the relay charges per transfer —
-    # per-frame fetches measured ~60 ms each; fetching the whole raw
-    # tensor would move ~100 MB for a state batch)
-    over = np.nonzero(c2 > capacity)[0]
-    raw_sel = None
-    if over.size:
-        flat_raw = raw_dev.reshape((-1,) + shape[-3:])
-        raw_sel = np.asarray(jnp.take(flat_raw, jnp.asarray(over), axis=0))
-    for j, i in enumerate(over):
-        o2[i] = raw_sel[j]
-    for i in range(o2.shape[0]):
-        if c2[i] <= capacity:
-            o2[i] = unpack_frame(m2[i], v2[i], int(c2[i]), (H, W))
-    return out
+# single-blob transfer helpers shared with the multigraph generator —
+# see io/transfer.py for the per-transfer-cost rationale
+from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
+                            split_blob as _split_blob,
+                            unpack_images as _unpack_images)
 
 
 class RPMGeneratorTPU:
