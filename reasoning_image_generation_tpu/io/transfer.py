@@ -51,10 +51,41 @@ def split_blob(blob_np: np.ndarray, treedef, specs):
     return jax.tree.unflatten(treedef, out)
 
 
-def unpack_images(packed, raw_dev, codec: str = "rle") -> np.ndarray:
+class HostBufferRing:
+    """Reusable host-side output buffers.
+
+    On this microVM kernel, first-touch page faults on a fresh large
+    allocation run at ~20 MB/s (a 61 MB np.empty costs ~3 s to fill the
+    first time), and numpy buffers above glibc's 32 MB mmap-threshold cap
+    are ALWAYS freshly mapped — decoding a full-export batch into fresh
+    state/option tensors paid ~9 s/batch in page faults alone.  The ring
+    hands out up to `slots` buffers per (shape, dtype) round-robin;
+    `wrapped=True` tells the caller a previously-issued buffer is being
+    reused, so any async consumer (the PNG export pool) must be drained
+    first."""
+
+    def __init__(self, slots: int = 3):
+        self.slots = slots
+        self._bufs: dict = {}
+        self._idx: dict = {}
+
+    def acquire(self, shape, dtype=np.uint8):
+        key = (tuple(int(s) for s in shape), np.dtype(dtype).str)
+        lst = self._bufs.setdefault(key, [])
+        if len(lst) < self.slots:
+            lst.append(np.empty(shape, dtype))
+            return lst[-1], False
+        i = self._idx.get(key, 0)
+        self._idx[key] = (i + 1) % self.slots
+        return lst[i], True
+
+
+def unpack_images(packed, raw_dev, codec: str = "rle",
+                  out: np.ndarray | None = None) -> np.ndarray:
     """Reconstruct a frame tensor from the transfer codec (ops/rle.py or
     ops/sparse.py); frames over budget fall back to the raw device frame,
-    all overflowed frames gathered and fetched in ONE transfer."""
+    all overflowed frames gathered and fetched in ONE transfer.  Pass a
+    HostBufferRing buffer as `out` to skip the (slow) fresh allocation."""
     if codec == "rle":
         from ..ops.rle import unpack_frame_rle as unpack_frame
     else:
@@ -64,7 +95,8 @@ def unpack_images(packed, raw_dev, codec: str = "rle") -> np.ndarray:
     shape = raw_dev.shape  # [..., H, W, 3]
     H, W = shape[-3], shape[-2]
     lead = shape[:-3]
-    out = np.empty(shape, np.uint8)
+    out = np.empty(shape, np.uint8) if out is None else out
+    assert out.shape == tuple(shape) and out.dtype == np.uint8
     m2 = mask.reshape((-1,) + mask.shape[len(lead):])
     v2 = vals.reshape((-1,) + vals.shape[len(lead):])
     c2 = count.reshape(-1)

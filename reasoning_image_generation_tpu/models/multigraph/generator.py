@@ -82,6 +82,8 @@ class GeometryGeneratorTPU:
         self.bounds = bounds
         self.global_scale = float(global_scale)
         self._pool = ExportPool(workers=io_workers)
+        from ...io.transfer import HostBufferRing
+        self._bufs = HostBufferRing()
         self.generation_history: List[Dict] = []
         if renderer == "auto":
             import jax
@@ -133,7 +135,13 @@ class GeometryGeneratorTPU:
         leaves, treedef, specs = blob_specs(packed)
         blob = np.asarray(coalesce(leaves))
         packed_np = split_blob(blob, treedef, specs)
-        return unpack_images(packed_np, imgs, "rle")
+        # ring buffer: a fresh 61 MB batch tensor costs ~3 s of page
+        # faults on this host; a wrapped buffer may back in-flight PNG
+        # writes, so drain the export pool before decoding into it
+        buf, wrapped = self._bufs.acquire(imgs.shape)
+        if wrapped:
+            self._pool.drain()
+        return unpack_images(packed_np, imgs, "rle", out=buf)
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,

@@ -45,7 +45,7 @@ RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
 # see io/transfer.py for the per-transfer-cost rationale
 from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
                             split_blob as _split_blob,
-                            unpack_images as _unpack_images)
+                            unpack_images as _unpack_images, HostBufferRing)
 
 
 class RPMGeneratorTPU:
@@ -63,6 +63,7 @@ class RPMGeneratorTPU:
         self._pipelines: Dict[str, LeafPipeline] = {}
         self._pool = ExportPool(workers=io_workers, use_threads=use_threads)
         self._leaves = category_leaves(config.categories)
+        self._bufs = HostBufferRing()
         self.mesh = self._maybe_make_mesh()
 
     def _maybe_make_mesh(self):
@@ -386,17 +387,19 @@ class RPMGeneratorTPU:
         import jax
         if isinstance(out, tuple):
             # coalesced form from generate_ids: ONE host transfer for the
-            # blob, then reconstruct the output tree and slice off batch
-            # padding host-side.  Device-resident raw handles are sliced
-            # lazily (touched only by overflow fallbacks / dedup).
+            # blob, then reconstruct the output tree.  Image tensors stay
+            # FULL batch — batch padding is sliced off as views AFTER
+            # decode, so the ring buffers keep stable full-batch shapes
+            # (shared across every same-L leaf) instead of one shape per
+            # ragged tail.  Raw device handles stay full for the same
+            # reason (and sharded dedup needs even shards).
             blob, treedef, specs, raw, n_real = out
-            out = _split_blob(np.asarray(blob), treedef, specs)
-            out = jax.tree.map(lambda a: a[:n_real], out)
-            for k, v in raw.items():
-                if k == "grid_phash_full":
-                    out[k] = v  # full batch: sharded dedup needs even shards
-                else:
-                    out[k] = jax.tree.map(lambda a: a[:n_real], v)
+            full = _split_blob(np.asarray(blob), treedef, specs)
+            out = {k: (v if k.endswith("_packed")
+                       else jax.tree.map(lambda a: a[:n_real], v))
+                   for k, v in full.items()}
+            out.update(raw)
+            out["_n_real"] = n_real
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
@@ -406,21 +409,40 @@ class RPMGeneratorTPU:
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
         codec = getattr(self.cfg, "transfer_codec", "rle")
+        # decode into ring buffers: fresh 100 MB state/option tensors cost
+        # ~9 s/batch in first-touch page faults on this host.  A wrapped
+        # buffer may still back in-flight PNG writes -> drain the pool
+        # BEFORE decoding into it (with 3 slots the writes are from two
+        # batches ago and long since finished).
+        bufs, wrapped = {}, False
+        keys = [("grid", out["grid_img"].shape)]
+        if not grid_only and "state_imgs_packed" in out:
+            keys += [("state", out["state_imgs"].shape),
+                     ("option", out["option_imgs"].shape)]
+        for name, shape in keys:
+            bufs[name], w = self._bufs.acquire(shape)
+            wrapped |= w
+        if wrapped:
+            self._pool.drain()
+        n_real = out.get("_n_real", len(chunk))
         if "grid_img_packed" in out:
             grid_imgs = _unpack_images(out["grid_img_packed"],
-                                       out["grid_img"], codec)
+                                       out["grid_img"], codec,
+                                       out=bufs["grid"])[:n_real]
         else:
-            grid_imgs = np.asarray(out["grid_img"])
+            grid_imgs = np.asarray(out["grid_img"])[:n_real]
         if grid_only:
             state_imgs = option_imgs = None
         elif "state_imgs_packed" in out:
             state_imgs = _unpack_images(out["state_imgs_packed"],
-                                        out["state_imgs"], codec)
+                                        out["state_imgs"], codec,
+                                        out=bufs["state"])[:n_real]
             option_imgs = _unpack_images(out["option_imgs_packed"],
-                                         out["option_imgs"], codec)
+                                         out["option_imgs"], codec,
+                                         out=bufs["option"])[:n_real]
         else:
-            state_imgs = np.asarray(out["state_imgs"])
-            option_imgs = np.asarray(out["option_imgs"])
+            state_imgs = np.asarray(out["state_imgs"])[:n_real]
+            option_imgs = np.asarray(out["option_imgs"])[:n_real]
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
