@@ -42,6 +42,10 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.fastpng_write.restype = ctypes.c_int
+            lib.fastpng_write_rle.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+            lib.fastpng_write_rle.restype = ctypes.c_int
             _lib = lib
     return _lib
 
@@ -55,6 +59,20 @@ def write_png(path: str, img: np.ndarray, level: int = 1) -> None:
     rc = _load().fastpng_write(path.encode(), img.ctypes.data, h, w, level)
     if rc != 0:
         raise IOError(f"fastpng_write failed with code {rc} for {path}")
+
+
+def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
+                  count: int, h: int, w: int, level: int = 1) -> None:
+    """Encode a PNG straight from the rle2 run stream
+    (ops/rle.py::pack_frame_rle2) — no pixel tensor ever materializes on
+    the host.  lengths: u16 [>=count]; colors: u8 [>=count, 3]."""
+    lengths = np.ascontiguousarray(lengths[:count], np.uint16)
+    colors = np.ascontiguousarray(colors[:count], np.uint8)
+    rc = _load().fastpng_write_rle(
+        path.encode(), lengths.ctypes.data, colors.ctypes.data,
+        int(count), h, w, level)
+    if rc != 0:
+        raise IOError(f"fastpng_write_rle failed with code {rc} for {path}")
 
 
 # build at import so io.png backend probing succeeds or falls through

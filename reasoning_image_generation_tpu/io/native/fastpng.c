@@ -1,4 +1,4 @@
-/* fastpng.c — minimal threaded-friendly RGB8 PNG encoder.
+/* fastpng.c — minimal threaded-friendly PNG encoder (RGB8 + indexed).
  *
  * The host export boundary (PNG encode of whole rendered batches) is the
  * only hot CPU path in the framework; this encoder does PNG row filtering
@@ -9,7 +9,19 @@
  * Exposed API (ctypes):
  *   int fastpng_write(const char* path, const unsigned char* rgb,
  *                     int height, int width, int level);
- *   returns 0 on success, negative on error.
+ *   int fastpng_write_rle(const char* path, const unsigned short* lengths,
+ *                         const unsigned char* colors, int count,
+ *                         int height, int width, int level);
+ *   both return 0 on success, negative on error.
+ *
+ * fastpng_write_rle consumes the device transfer codec's run stream
+ * (ops/rle.py::pack_frame_rle2: u16 run length + u8 RGB per run) directly:
+ * the pixel tensor is never materialized on the Python side, and when the
+ * frame has <=256 distinct colors the runs map straight onto an
+ * indexed-color PNG (color type 3) — 3x less filter+deflate work.  This
+ * replaces the reference's cv2.imwrite of fully materialized frames
+ * (reference src/utils.py:17-21) at the end of a device->host path that
+ * never decodes to raw pixels at all.
  */
 #include <stdio.h>
 #include <stdlib.h>
@@ -46,22 +58,77 @@ static unsigned char paeth(unsigned char a, unsigned char b, unsigned char c) {
     return c;
 }
 
-int fastpng_write(const char *path, const unsigned char *rgb,
-                  int height, int width, int level) {
+/* deflate `raw` and write the PNG container.  color_type 2 = RGB8,
+ * 3 = indexed (palette = plte[0..3*plte_n)).  Frees nothing. */
+static int write_png_core(const char *path, unsigned char *raw,
+                          size_t raw_len, int height, int width,
+                          int color_type, const unsigned char *plte,
+                          int plte_n, int level) {
+    int lvl = level < 0 ? 3 : level;
+    z_stream zs;
+    uLong comp_cap;
+    unsigned char *comp;
+    unsigned char ihdr[13];
+    FILE *f;
+    int rc = 0;
+    static const unsigned char sig[8] =
+        {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
+
+    /* Z_RLE strategy at fast levels: the filtered stream is long zero
+     * runs, which RLE matching compresses nearly as well as full LZ77 at
+     * a fraction of the CPU (libpng uses the same strategy for its fast
+     * profiles). */
+    memset(&zs, 0, sizeof(zs));
+    if (deflateInit2(&zs, lvl, Z_DEFLATED, 15, 9,
+                     lvl <= 3 ? Z_RLE : Z_DEFAULT_STRATEGY) != Z_OK)
+        return -3;
+    /* parameter-aware bound: compressBound() is specified only for
+     * compress2's defaults, not memLevel 9 + Z_RLE */
+    comp_cap = deflateBound(&zs, (uLong)raw_len);
+    comp = (unsigned char *)malloc(comp_cap);
+    if (!comp) { deflateEnd(&zs); return -2; }
+    zs.next_in = raw;
+    zs.avail_in = (uInt)raw_len;
+    zs.next_out = comp;
+    zs.avail_out = (uInt)comp_cap;
+    if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
+        deflateEnd(&zs); free(comp); return -3;
+    }
+    comp_cap = zs.total_out;
+    deflateEnd(&zs);
+
+    f = fopen(path, "wb");
+    if (!f) { free(comp); return -4; }
+    put_be32(ihdr, (unsigned int)width);
+    put_be32(ihdr + 4, (unsigned int)height);
+    ihdr[8] = 8;  /* bit depth */
+    ihdr[9] = (unsigned char)color_type;
+    ihdr[10] = ihdr[11] = ihdr[12] = 0;
+    rc |= (int)(fwrite(sig, 1, 8, f) != 8);
+    rc |= write_chunk(f, "IHDR", ihdr, 13);
+    if (color_type == 3)
+        rc |= write_chunk(f, "PLTE", plte, (unsigned int)(3 * plte_n));
+    rc |= write_chunk(f, "IDAT", comp, (unsigned int)comp_cap);
+    rc |= write_chunk(f, "IEND", NULL, 0);
+    fclose(f);
+    free(comp);
+    return rc ? -5 : 0;
+}
+
+/* per-row filter selection: try Sub(1) and Up(2) and Paeth(4), keep the
+ * one minimizing sum of |signed byte| (standard libpng heuristic).
+ * Two O(stride) fast paths first — rendered canvases are dominated by
+ * rows equal to the previous row (background/fill spans -> Up filter,
+ * all zeros) and single-color rows (Sub filter, zeros after pixel 0);
+ * both skip the 3-filter trial loop (~10x fewer ops on those rows).
+ * `raw` receives height * (stride+1) filtered bytes. */
+static int filter_rgb_rows(const unsigned char *rgb, int height, int width,
+                           unsigned char *raw) {
     const int bpp = 3;
     const size_t stride = (size_t)width * bpp;
-    const size_t raw_len = (size_t)height * (stride + 1);
-    unsigned char *raw = (unsigned char *)malloc(raw_len);
     unsigned char *trial = (unsigned char *)malloc(stride * 2);
-    int y, x, rc = 0;
-    if (!raw || !trial) { free(raw); free(trial); return -2; }
-
-    /* per-row filter selection: try Sub(1) and Up(2) and Paeth(4), keep the
-     * one minimizing sum of |signed byte| (standard libpng heuristic).
-     * Two O(stride) fast paths first — rendered canvases are dominated by
-     * rows equal to the previous row (background/fill spans -> Up filter,
-     * all zeros) and single-color rows (Sub filter, zeros after pixel 0);
-     * both skip the 3-filter trial loop (~10x fewer ops on those rows). */
+    int y, x;
+    if (!trial) return -2;
     for (y = 0; y < height; ++y) {
         const unsigned char *row = rgb + (size_t)y * stride;
         const unsigned char *prev = y ? rgb + (size_t)(y - 1) * stride : NULL;
@@ -104,51 +171,134 @@ int fastpng_write(const char *path, const unsigned char *rgb,
         memcpy(dst + 1, trial + stride, stride);
     }
     free(trial);
+    return 0;
+}
 
-    {
-        uLongf comp_cap = compressBound((uLong)raw_len);
-        unsigned char *comp = (unsigned char *)malloc(comp_cap);
-        unsigned char ihdr[13];
-        FILE *f;
-        static const unsigned char sig[8] =
-            {0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n'};
-        if (!comp) { free(raw); return -2; }
-        {
-            /* Z_RLE strategy at fast levels: the filtered stream is long
-             * zero runs, which RLE matching compresses nearly as well as
-             * full LZ77 at a fraction of the CPU (libpng uses the same
-             * strategy for its fast profiles). */
-            int lvl = level < 0 ? 3 : level;
-            z_stream zs;
-            memset(&zs, 0, sizeof(zs));
-            if (deflateInit2(&zs, lvl, Z_DEFLATED, 15, 9,
-                             lvl <= 3 ? Z_RLE : Z_DEFAULT_STRATEGY) != Z_OK) {
-                free(raw); free(comp); return -3;
-            }
-            zs.next_in = raw;
-            zs.avail_in = (uInt)raw_len;
-            zs.next_out = comp;
-            zs.avail_out = (uInt)comp_cap;
-            if (deflate(&zs, Z_FINISH) != Z_STREAM_END) {
-                deflateEnd(&zs); free(raw); free(comp); return -3;
-            }
-            comp_cap = zs.total_out;
-            deflateEnd(&zs);
+int fastpng_write(const char *path, const unsigned char *rgb,
+                  int height, int width, int level) {
+    const size_t stride = (size_t)width * 3;
+    const size_t raw_len = (size_t)height * (stride + 1);
+    unsigned char *raw = (unsigned char *)malloc(raw_len);
+    int rc;
+    if (!raw) return -2;
+    rc = filter_rgb_rows(rgb, height, width, raw);
+    if (rc == 0)
+        rc = write_png_core(path, raw, raw_len, height, width, 2,
+                            NULL, 0, level);
+    free(raw);
+    return rc;
+}
+
+/* 24-bit-color -> palette-index open-addressing table (runs are few:
+ * count <= ~64k, distinct colors probed up to 256). */
+#define PAL_HASH_SIZE 1024  /* power of two, > 4*256 slots */
+
+int fastpng_write_rle(const char *path, const unsigned short *lengths,
+                      const unsigned char *colors, int count,
+                      int height, int width, int level) {
+    const size_t n = (size_t)height * width;
+    size_t total = 0;
+    int i, rc;
+    int n_pal = 0;
+    int pal_ok = 1;
+    unsigned char plte[256 * 3];
+    short hash_idx[PAL_HASH_SIZE];
+    unsigned int hash_key[PAL_HASH_SIZE];
+    unsigned char *pal_of_run = NULL;
+
+    if (count <= 0 || height <= 0 || width <= 0) return -6;
+    for (i = 0; i < count; ++i) total += lengths[i];
+    if (total != n) return -6;  /* truncated/overflowed stream */
+
+    /* palette attempt over run colors */
+    memset(hash_idx, -1, sizeof(hash_idx));
+    pal_of_run = (unsigned char *)malloc((size_t)count);
+    if (!pal_of_run) return -2;
+    for (i = 0; i < count; ++i) {
+        unsigned int c = ((unsigned int)colors[3 * i] << 16)
+                       | ((unsigned int)colors[3 * i + 1] << 8)
+                       | colors[3 * i + 2];
+        unsigned int h = (c * 2654435761u) & (PAL_HASH_SIZE - 1);
+        while (hash_idx[h] >= 0 && hash_key[h] != c)
+            h = (h + 1) & (PAL_HASH_SIZE - 1);
+        if (hash_idx[h] < 0) {
+            if (n_pal == 256) { pal_ok = 0; break; }
+            hash_idx[h] = (short)n_pal;
+            hash_key[h] = c;
+            memcpy(plte + 3 * n_pal, colors + 3 * i, 3);
+            n_pal++;
         }
-        free(raw);
-        f = fopen(path, "wb");
-        if (!f) { free(comp); return -4; }
-        put_be32(ihdr, (unsigned int)width);
-        put_be32(ihdr + 4, (unsigned int)height);
-        ihdr[8] = 8;  /* bit depth */
-        ihdr[9] = 2;  /* color type RGB */
-        ihdr[10] = ihdr[11] = ihdr[12] = 0;
-        rc |= (int)(fwrite(sig, 1, 8, f) != 8);
-        rc |= write_chunk(f, "IHDR", ihdr, 13);
-        rc |= write_chunk(f, "IDAT", comp, (unsigned int)comp_cap);
-        rc |= write_chunk(f, "IEND", NULL, 0);
-        fclose(f);
-        free(comp);
+        pal_of_run[i] = (unsigned char)hash_idx[h];
     }
-    return rc ? -5 : 0;
+
+    if (pal_ok) {
+        /* indexed PNG: decode runs straight into index scanlines */
+        const size_t stride = (size_t)width;
+        const size_t raw_len = (size_t)height * (stride + 1);
+        unsigned char *raw = (unsigned char *)malloc(raw_len);
+        size_t pos = 0;
+        int y;
+        if (!raw) { free(pal_of_run); return -2; }
+        for (y = 0; y < height; ++y)
+            raw[(size_t)y * (stride + 1)] = 0;  /* filter None */
+        for (i = 0; i < count; ++i) {
+            size_t len = lengths[i];
+            unsigned char v = pal_of_run[i];
+            while (len) {
+                size_t y = pos / stride, x = pos % stride;
+                size_t span = stride - x;
+                if (span > len) span = len;
+                memset(raw + y * (stride + 1) + 1 + x, v, span);
+                pos += span;
+                len -= span;
+            }
+        }
+        /* repeated rows -> Up filter (zeros), bottom-up so each compare
+         * sees the original (not yet rewritten) previous row */
+        for (y = height - 1; y >= 1; --y) {
+            unsigned char *row = raw + (size_t)y * (stride + 1);
+            unsigned char *prev = raw + (size_t)(y - 1) * (stride + 1);
+            if (prev[0] == 0 && memcmp(row + 1, prev + 1, stride) == 0) {
+                row[0] = 2;
+                memset(row + 1, 0, stride);
+            }
+        }
+        rc = write_png_core(path, raw, raw_len, height, width, 3,
+                            plte, n_pal, level);
+        free(raw);
+        free(pal_of_run);
+        return rc;
+    }
+
+    /* truecolor: decode runs into an RGB buffer, reuse the filter path */
+    free(pal_of_run);
+    {
+        const size_t stride = (size_t)width * 3;
+        const size_t raw_len = (size_t)height * (stride + 1);
+        unsigned char *rgb = (unsigned char *)malloc(n * 3);
+        unsigned char *raw = (unsigned char *)malloc(raw_len);
+        size_t pos = 0;
+        if (!rgb || !raw) { free(rgb); free(raw); return -2; }
+        for (i = 0; i < count; ++i) {
+            size_t len = lengths[i];
+            const unsigned char *c = colors + 3 * i;
+            unsigned char *p = rgb + pos * 3;
+            size_t j;
+            if (c[0] == c[1] && c[1] == c[2]) {
+                memset(p, c[0], len * 3);
+            } else {
+                for (j = 0; j < len; ++j) {
+                    p[3 * j] = c[0]; p[3 * j + 1] = c[1]; p[3 * j + 2] = c[2];
+                }
+            }
+            pos += len;
+        }
+        rc = filter_rgb_rows(rgb, height, width, raw);
+        if (rc == 0)
+            rc = write_png_core(path, raw, raw_len, height, width, 2,
+                                NULL, 0, level);
+        free(rgb);
+        free(raw);
+        return rc;
+    }
 }

@@ -22,8 +22,8 @@ _BACKEND = None
 
 def _try_fastpng():
     try:
-        from .native import fastpng  # built on demand by io/native/build.py
-        return fastpng
+        from . import native  # builds + loads libfastpng.so on demand
+        return native
     except Exception:
         return None
 
@@ -54,6 +54,27 @@ def encode_png_zlib(img: np.ndarray, level: int = 3) -> bytes:
     ihdr = struct.pack(">IIBBBBB", W, H, 8, 2, 0, 0, 0)
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
             chunk(b"IDAT", comp) + chunk(b"IEND", b""))
+
+
+def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
+                  count: int, h: int, w: int) -> None:
+    """Write a PNG from an rle2 run stream (u16 lengths + u8 RGB colors,
+    ops/rle.py::pack_frame_rle2) without materializing pixels when the C
+    encoder is available; decodes and falls through to write_png
+    otherwise.  Raises OverflowError for truncated streams so callers can
+    fetch the raw frame, same contract as unpack_frame_rle2."""
+    from ..ops.rle import unpack_frame_rle2
+    if count > lengths.shape[0]:
+        raise OverflowError(f"rle2 frame overflow: {count} > "
+                            f"{lengths.shape[0]}")
+    fp = _try_fastpng()
+    if fp is not None:
+        try:
+            fp.write_png_rle(path, lengths, colors, int(count), h, w)
+            return
+        except IOError:
+            pass  # e.g. length-sum mismatch — decode path re-validates
+    write_png(path, unpack_frame_rle2(lengths, colors, int(count), (h, w)))
 
 
 def write_png(path: str, img: np.ndarray) -> None:

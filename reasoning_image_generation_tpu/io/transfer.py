@@ -7,6 +7,8 @@ back on host, and reconstruct image tensors from the RLE / block-sparse
 codecs with a single gathered fetch for budget-overflow frames."""
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +28,56 @@ def coalesce(leaves):
             b = jax.lax.bitcast_convert_type(b, jnp.uint8)
         parts.append(b.reshape(b.shape[0], -1))
     return jnp.concatenate(parts, axis=1)
+
+
+def transfer_tier(max_seen, capacity: int):
+    """Transfer tier (run count) for a packed buffer: 1.2x the largest
+    run count observed so far plus slack, rounded up to a multiple of 512.
+    None when no stats exist yet or no shrink is worthwhile.  Monotone in
+    max_seen, so tiers only grow — at most a handful of distinct program
+    shapes compile as statistics warm up."""
+    if max_seen is None:
+        return None
+    t = -(-(int(max_seen * 1.2) + 64) // 512) * 512
+    return t if t < capacity else None
+
+
+@partial(jax.jit, static_argnames=("sizes",))
+def coalesce_shrunk(leaves, sizes):
+    """`coalesce` with per-leaf run-axis truncation fused in.
+
+    The packed codecs (ops/rle.py, ops/sparse.py) emit STATIC per-frame
+    buffers sized for the worst case; actual content is far below that on
+    most batches.  `sizes` is a static tuple aligned with `leaves`: None
+    to keep a leaf whole, or (axis, new_size) to slice that axis to
+    new_size before coalescing — the host picks sizes adaptively from the
+    true run counts of previous batches (which always travel in full) and
+    the decode's existing overflow fallback absorbs the rare batch that
+    exceeds the shrunken capacity.  Sizes are quantized to a few tiers so
+    only a handful of program shapes ever compile."""
+    parts = []
+    for a, s in zip(leaves, sizes):
+        if s is not None:
+            axis, ns = s
+            a = jax.lax.slice_in_dim(a, 0, ns, axis=axis % a.ndim)
+        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
+        if b.dtype != jnp.uint8:
+            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
+        parts.append(b.reshape(b.shape[0], -1))
+    return jnp.concatenate(parts, axis=1)
+
+
+def shrunk_specs(leaves, sizes):
+    """Per-leaf (shape, dtype) as split_blob expects, after `sizes`
+    truncation (mirrors coalesce_shrunk's slicing on host metadata)."""
+    specs = []
+    for a, s in zip(leaves, sizes):
+        shape = list(a.shape)
+        if s is not None:
+            axis, ns = s
+            shape[axis % len(shape)] = min(ns, shape[axis % len(shape)])
+        specs.append((tuple(shape), np.dtype(a.dtype)))
+    return specs
 
 
 def blob_specs(tree):
@@ -80,13 +132,33 @@ class HostBufferRing:
         return lst[i], True
 
 
+def overflow_pixels(packed, raw_dev, n_valid: int) -> dict:
+    """Raw pixels for frames whose true run count exceeds the transferred
+    capacity — all of them fetched in ONE gathered device->host transfer.
+    `packed` is a host-side (lengths/starts, colors, counts) tuple; returns
+    {flat_frame_index: u8 [h, w, 3]} over the first n_valid (batch-major)
+    frames."""
+    lengths, _colors, counts = packed
+    cap = lengths.shape[-1]
+    cnt = np.asarray(counts).reshape(-1)
+    over = np.nonzero(cnt > cap)[0]
+    over = over[over < n_valid]
+    if over.size == 0:
+        return {}
+    flat_raw = raw_dev.reshape((-1,) + raw_dev.shape[-3:])
+    sel = np.asarray(jnp.take(flat_raw, jnp.asarray(over), axis=0))
+    return {int(i): sel[j] for j, i in enumerate(over)}
+
+
 def unpack_images(packed, raw_dev, codec: str = "rle",
                   out: np.ndarray | None = None) -> np.ndarray:
     """Reconstruct a frame tensor from the transfer codec (ops/rle.py or
     ops/sparse.py); frames over budget fall back to the raw device frame,
     all overflowed frames gathered and fetched in ONE transfer.  Pass a
     HostBufferRing buffer as `out` to skip the (slow) fresh allocation."""
-    if codec == "rle":
+    if codec == "rle2":
+        from ..ops.rle import unpack_frame_rle2 as unpack_frame
+    elif codec == "rle":
         from ..ops.rle import unpack_frame_rle as unpack_frame
     else:
         from ..ops.sparse import unpack_frame

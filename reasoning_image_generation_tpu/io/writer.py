@@ -14,7 +14,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .png import write_png
+from .png import write_png, write_png_rle
 
 
 def ensure_dir(p: str) -> None:
@@ -34,6 +34,17 @@ class ExportPool:
             write_png(path, img)
         else:
             self._futures.append(self._pool.submit(write_png, path, img))
+
+    def submit_png_rle(self, path: str, lengths, colors, count: int,
+                       h: int, w: int):
+        """PNG from an rle2 run stream — the pixel-free export path.
+        lengths/colors may be views into the transfer blob; the pending
+        future keeps that blob alive until the write completes."""
+        if self._pool is None:
+            write_png_rle(path, lengths, colors, count, h, w)
+        else:
+            self._futures.append(self._pool.submit(
+                write_png_rle, path, lengths, colors, count, h, w))
 
     def submit_json(self, path: str, obj):
         def _write():

@@ -82,8 +82,9 @@ class GeometryGeneratorTPU:
         self.bounds = bounds
         self.global_scale = float(global_scale)
         self._pool = ExportPool(workers=io_workers)
-        from ...io.transfer import HostBufferRing
-        self._bufs = HostBufferRing()
+        # largest run count observed — drives the adaptive shrink of the
+        # static transfer buffer (io/transfer.py::coalesce_shrunk)
+        self._run_stats: Dict[str, int] = {}
         self.generation_history: List[Dict] = []
         if renderer == "auto":
             import jax
@@ -126,22 +127,31 @@ class GeometryGeneratorTPU:
         # device->host: RLE-pack on device and move ONE coalesced blob —
         # a raw 1600^2 batch is 7.7 MB/img on a relay that charges per
         # transfer and gives 4-28 MB/s (io/transfer.py); outline scenes
-        # RLE to ~1-3% of raw.  Overflow falls back to gathered raw frames.
-        from ...io.transfer import (coalesce, blob_specs, split_blob,
-                                    unpack_images)
-        from ...ops.rle import pack_batch_rle, default_budget
+        # RLE to ~1-3% of raw.  The static run buffer additionally shrinks
+        # to the largest count previously observed (power-of-2 tiers), and
+        # frames that still overflow fall back to one gathered raw fetch.
+        from ...io.transfer import (coalesce, coalesce_shrunk, blob_specs,
+                                    shrunk_specs, split_blob,
+                                    overflow_pixels, transfer_tier)
+        from ...ops.rle import pack_batch_rle2, default_budget
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
-        packed = pack_batch_rle(imgs, default_budget(H, W))
+        budget = default_budget(H, W)
+        packed = pack_batch_rle2(imgs, budget)
         leaves, treedef, specs = blob_specs(packed)
-        blob = np.asarray(coalesce(leaves))
-        packed_np = split_blob(blob, treedef, specs)
-        # ring buffer: a fresh 61 MB batch tensor costs ~3 s of page
-        # faults on this host; a wrapped buffer may back in-flight PNG
-        # writes, so drain the export pool before decoding into it
-        buf, wrapped = self._bufs.acquire(imgs.shape)
-        if wrapped:
-            self._pool.drain()
-        return unpack_images(packed_np, imgs, "rle", out=buf)
+        tier = transfer_tier(self._run_stats.get("mg"), budget)
+        sizes = (((-1, tier), (-2, tier), None) if tier is not None
+                 else (None, None, None))
+        if sizes[0] is not None:
+            blob = np.asarray(coalesce_shrunk(leaves, sizes))
+            specs = shrunk_specs(leaves, sizes)
+        else:
+            blob = np.asarray(coalesce(leaves))
+        ln, co, cnt = split_blob(blob, treedef, specs)
+        cnt = np.asarray(cnt)
+        self._run_stats["mg"] = max(self._run_stats.get("mg", 0),
+                                    int(cnt.max()))
+        over = overflow_pixels((ln, co, cnt), imgs, cnt.shape[0])
+        return ln, co, cnt, over, (H, W)
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -158,7 +168,7 @@ class GeometryGeneratorTPU:
         params_save_paths = params_save_paths or [None] * n
 
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
-        imgs = self._render(batch, dpi)
+        ln, co, cnt, over, (H, W) = self._render(batch, dpi)
 
         from .check import check_scene_inside, compute_scene_features
         records = []
@@ -188,7 +198,13 @@ class GeometryGeneratorTPU:
                 d = os.path.dirname(save_paths[i])
                 if d:
                     ensure_dir(d)
-                self._pool.submit_png(save_paths[i], imgs[i])
+                if i in over:
+                    self._pool.submit_png(save_paths[i], over[i])
+                else:
+                    # pixel-free path: PNG encoded in C straight from the
+                    # run stream (io/native/fastpng.c::fastpng_write_rle)
+                    self._pool.submit_png_rle(save_paths[i], ln[i], co[i],
+                                              int(cnt[i]), H, W)
             if params_save_paths[i]:
                 d = os.path.dirname(params_save_paths[i])
                 if d:

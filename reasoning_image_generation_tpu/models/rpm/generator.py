@@ -45,6 +45,8 @@ RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
 # see io/transfer.py for the per-transfer-cost rationale
 from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
                             split_blob as _split_blob,
+                            coalesce_shrunk as _coalesce_shrunk,
+                            shrunk_specs as _shrunk_specs, transfer_tier,
                             unpack_images as _unpack_images, HostBufferRing)
 
 
@@ -64,6 +66,10 @@ class RPMGeneratorTPU:
         self._pool = ExportPool(workers=io_workers, use_threads=use_threads)
         self._leaves = category_leaves(config.categories)
         self._bufs = HostBufferRing()
+        # observed max run count per packed tensor key — drives the
+        # adaptive shrink of the static codec buffers before transfer
+        # (io/transfer.py::coalesce_shrunk)
+        self._run_stats: Dict[str, int] = {}
         self.mesh = self._maybe_make_mesh()
 
     def _maybe_make_mesh(self):
@@ -306,7 +312,12 @@ class RPMGeneratorTPU:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
             leaves, treedef, specs = _blob_specs(transfer)
-            blob = _coalesce(leaves)
+            sizes = self._shrink_sizes(leaf, transfer)
+            if any(s is not None for s in sizes):
+                blob = _coalesce_shrunk(leaves, sizes)
+                specs = _shrunk_specs(leaves, sizes)
+            else:
+                blob = _coalesce(leaves)
             getattr(blob, "copy_to_host_async", lambda: None)()
             # device-resident handles: raw frames (overflow fallback) and
             # the full-batch phashes (the sharded dedup collective needs
@@ -348,6 +359,44 @@ class RPMGeneratorTPU:
                     "traceback": tb,
                 }
         return len(p_chunk)
+
+    def _shrink_sizes(self, leaf: str, transfer) -> tuple:
+        """Static per-leaf-array truncation spec for coalesce_shrunk,
+        aligned with jax.tree.flatten(transfer) order (dict keys sorted;
+        tuple elements in order).  Packed run buffers shrink to the
+        transfer tier covering the largest run count this rule leaf has
+        produced so far (run statistics differ ~3x between leaves —
+        平移 max 3.8k runs vs 直接叠加 10.6k); everything else travels
+        whole.  Tiers quantize to 512 runs and only ever grow (max-seen is
+        monotone), so a handful of program shapes compile per leaf.  A
+        frame that exceeds a shrunken capacity hits the existing raw-frame
+        overflow fallback on decode, so an optimistic tier costs one extra
+        gathered fetch, never correctness."""
+        codec = getattr(self.cfg, "transfer_codec", "rle2")
+        sizes = []
+        for key in sorted(transfer):
+            val = transfer[key]
+            n_leaves = len(jax.tree.leaves(val))
+            if not (key.endswith("_packed") and codec in ("rle", "rle2")):
+                sizes += [None] * n_leaves
+                continue
+            cap = int(val[0].shape[-1])
+            tier = transfer_tier(self._run_stats.get(f"{leaf}:{key}"), cap)
+            if tier is None:
+                sizes += [None] * n_leaves
+            elif codec == "rle2":
+                sizes += [(-1, tier), (-2, tier), None]
+            else:
+                sizes += [(-1, tier), (-1, tier), None]
+        return tuple(sizes)
+
+    def _update_run_stats(self, leaf: str, out) -> None:
+        for key in ("state_imgs_packed", "option_imgs_packed",
+                    "grid_img_packed"):
+            if key in out:
+                c = int(np.asarray(out[key][2]).max())
+                k = f"{leaf}:{key}"
+                self._run_stats[k] = max(self._run_stats.get(k, 0), c)
 
     def _dedup_mask(self, hashes_dev, n_real: int) -> np.ndarray:
         """Corpus-level pHash dedup vs everything generated so far.
@@ -400,6 +449,7 @@ class RPMGeneratorTPU:
                    for k, v in full.items()}
             out.update(raw)
             out["_n_real"] = n_real
+        self._update_run_stats(leaf, out)
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
@@ -408,41 +458,60 @@ class RPMGeneratorTPU:
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
-        codec = getattr(self.cfg, "transfer_codec", "rle")
-        # decode into ring buffers: fresh 100 MB state/option tensors cost
-        # ~9 s/batch in first-touch page faults on this host.  A wrapped
-        # buffer may still back in-flight PNG writes -> drain the pool
-        # BEFORE decoding into it (with 3 slots the writes are from two
-        # batches ago and long since finished).
-        bufs, wrapped = {}, False
-        keys = [("grid", out["grid_img"].shape)]
-        if not grid_only and "state_imgs_packed" in out:
-            keys += [("state", out["state_imgs"].shape),
-                     ("option", out["option_imgs"].shape)]
-        for name, shape in keys:
-            bufs[name], w = self._bufs.acquire(shape)
-            wrapped |= w
-        if wrapped:
-            self._pool.drain()
+        codec = getattr(self.cfg, "transfer_codec", "rle2")
         n_real = out.get("_n_real", len(chunk))
-        if "grid_img_packed" in out:
-            grid_imgs = _unpack_images(out["grid_img_packed"],
-                                       out["grid_img"], codec,
-                                       out=bufs["grid"])[:n_real]
+        # rle2 exports straight from the run stream (fastpng_write_rle):
+        # no host pixel tensor is ever materialized — only frames that
+        # overflowed their (possibly shrunken) run capacity are fetched
+        # raw, all of them in one gathered transfer per tensor
+        direct = codec == "rle2" and "grid_img_packed" in out
+        state_imgs = option_imgs = grid_imgs = None
+        over_grid = over_state = over_opt = None
+        if direct:
+            from ...io.transfer import overflow_pixels
+            over_grid = overflow_pixels(
+                out["grid_img_packed"], out["grid_img"], n_real)
+            if not grid_only:
+                over_state = overflow_pixels(
+                    out["state_imgs_packed"], out["state_imgs"],
+                    n_real * L)
+                over_opt = overflow_pixels(
+                    out["option_imgs_packed"], out["option_imgs"],
+                    n_real * O)
         else:
-            grid_imgs = np.asarray(out["grid_img"])[:n_real]
-        if grid_only:
-            state_imgs = option_imgs = None
-        elif "state_imgs_packed" in out:
-            state_imgs = _unpack_images(out["state_imgs_packed"],
-                                        out["state_imgs"], codec,
-                                        out=bufs["state"])[:n_real]
-            option_imgs = _unpack_images(out["option_imgs_packed"],
-                                         out["option_imgs"], codec,
-                                         out=bufs["option"])[:n_real]
-        else:
-            state_imgs = np.asarray(out["state_imgs"])[:n_real]
-            option_imgs = np.asarray(out["option_imgs"])[:n_real]
+            # decode into ring buffers: fresh 100 MB state/option tensors
+            # cost ~9 s/batch in first-touch page faults on this host.  A
+            # wrapped buffer may still back in-flight PNG writes -> drain
+            # the pool BEFORE decoding into it (with 3 slots the writes
+            # are from two batches ago and long since finished).
+            bufs, wrapped = {}, False
+            keys = [("grid", out["grid_img"].shape)]
+            if not grid_only and "state_imgs_packed" in out:
+                keys += [("state", out["state_imgs"].shape),
+                         ("option", out["option_imgs"].shape)]
+            for name, shape in keys:
+                bufs[name], w = self._bufs.acquire(shape)
+                wrapped |= w
+            if wrapped:
+                self._pool.drain()
+            if "grid_img_packed" in out:
+                grid_imgs = _unpack_images(out["grid_img_packed"],
+                                           out["grid_img"], codec,
+                                           out=bufs["grid"])[:n_real]
+            else:
+                grid_imgs = np.asarray(out["grid_img"])[:n_real]
+            if grid_only:
+                state_imgs = option_imgs = None
+            elif "state_imgs_packed" in out:
+                state_imgs = _unpack_images(out["state_imgs_packed"],
+                                            out["state_imgs"], codec,
+                                            out=bufs["state"])[:n_real]
+                option_imgs = _unpack_images(out["option_imgs_packed"],
+                                             out["option_imgs"], codec,
+                                             out=bufs["option"])[:n_real]
+            else:
+                state_imgs = np.asarray(out["state_imgs"])[:n_real]
+                option_imgs = np.asarray(out["option_imgs"])[:n_real]
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
@@ -455,6 +524,17 @@ class RPMGeneratorTPU:
         # later merge can dedup ACROSS independent hosts without any
         # lockstep collective (cli.merge_host_indexes)
         phashes = np.asarray(out["grid_phash"])
+
+        if direct:
+            g_ln, g_co, g_cnt = out["grid_img_packed"]
+            g_cap = g_ln.shape[-1]
+            gh, gw = out["grid_img"].shape[-3], out["grid_img"].shape[-2]
+            if not grid_only:
+                s_ln, s_co, s_cnt = out["state_imgs_packed"]
+                o_ln, o_co, o_cnt = out["option_imgs_packed"]
+                s_cap, o_cap = s_ln.shape[-1], o_ln.shape[-1]
+                fh, fw = (out["state_imgs"].shape[-3],
+                          out["state_imgs"].shape[-2])
 
         for b, (sid, path, use_grid) in enumerate(chunk):
             if not keep[b]:
@@ -469,20 +549,39 @@ class RPMGeneratorTPU:
             perm = perms[b]
             if not grid_only:
                 for t in range(L):
-                    self._pool.submit_png(
-                        os.path.join(sample_dir, f"state_{t}.png"),
-                        state_imgs[b, t])
+                    spath = os.path.join(sample_dir, f"state_{t}.png")
+                    if not direct:
+                        self._pool.submit_png(spath, state_imgs[b, t])
+                    elif int(s_cnt[b, t]) > s_cap:
+                        self._pool.submit_png(spath, over_state[b * L + t])
+                    else:
+                        self._pool.submit_png_rle(
+                            spath, s_ln[b, t], s_co[b, t],
+                            int(s_cnt[b, t]), fh, fw)
                 # distractor files keep their pre-shuffle index j (reference
                 # writes option_j.png at generation time, src/generator.py:500)
                 for pos in range(O):
                     src = int(perm[pos])
                     name = ("proto_true_next.png" if src == 0 else
                             f"option_{src}.png")
-                    self._pool.submit_png(os.path.join(sample_dir, name),
-                                          option_imgs[b, pos])
+                    opath = os.path.join(sample_dir, name)
+                    if not direct:
+                        self._pool.submit_png(opath, option_imgs[b, pos])
+                    elif int(o_cnt[b, pos]) > o_cap:
+                        self._pool.submit_png(opath, over_opt[b * O + pos])
+                    else:
+                        self._pool.submit_png_rle(
+                            opath, o_ln[b, pos], o_co[b, pos],
+                            int(o_cnt[b, pos]), fh, fw)
                 self._pool.submit_png(os.path.join(sample_dir, "query.png"),
                                       layout.query_patch)
-            self._pool.submit_png(grid_path, grid_imgs[b])
+            if not direct:
+                self._pool.submit_png(grid_path, grid_imgs[b])
+            elif int(g_cnt[b]) > g_cap:
+                self._pool.submit_png(grid_path, over_grid[b])
+            else:
+                self._pool.submit_png_rle(grid_path, g_ln[b], g_co[b],
+                                          int(g_cnt[b]), gh, gw)
 
             sample_states = jax.tree.map(lambda a: a[b], states_np)
             sample_options = jax.tree.map(lambda a: a[b], options_np)

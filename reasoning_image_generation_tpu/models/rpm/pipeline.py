@@ -294,15 +294,17 @@ class LeafPipeline:
             # ('sparse') to ~15x ('rle') fewer bytes over the host link;
             # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
-                codec = getattr(cfg, "transfer_codec", "rle")
-                if codec == "rle":
-                    from ...ops.rle import (pack_batch_rle, default_budget,
+                codec = getattr(cfg, "transfer_codec", "rle2")
+                if codec in ("rle", "rle2"):
+                    from ...ops.rle import (pack_batch_rle, pack_batch_rle2,
+                                            default_budget,
                                             default_grid_budget)
                     budget = (getattr(cfg, "rle_budget", 0)
                               or default_budget(H, W))
                     gb = (getattr(cfg, "rle_budget_grid", 0)
                           or default_grid_budget(layout.grid_h, W))
-                    pack = pack_batch_rle
+                    pack = (pack_batch_rle2 if codec == "rle2"
+                            else pack_batch_rle)
                 else:
                     from ...ops.sparse import n_blocks
                     frac = getattr(cfg, "sparse_budget", 0.35)

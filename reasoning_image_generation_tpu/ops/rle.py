@@ -28,18 +28,23 @@ import numpy as np
 
 
 def default_budget(H: int, W: int) -> int:
-    """Default max_runs: measured max is ~H*W/80 for rendered frames;
-    H*W/32 gives ~2.5x headroom while still transferring 12x fewer bytes
-    than raw."""
-    return max(1024, (H * W) // 32)
+    """Default max_runs (capacity of the static device buffer).  Measured
+    per-leaf maxima on production 512^2 frames: 3.8k (平移) to 10.6k
+    (直接叠加 merged frames) — H*W/24 (~10.9k) covers every observed
+    frame.  Capacity is cheap: the host-side adaptive shrink
+    (io/transfer.py::coalesce_shrunk) truncates the transfer to the
+    largest run count actually seen, so headroom costs device memory and
+    first-batch bytes only."""
+    return max(1024, (H * W) // 24)
 
 
 def default_grid_budget(H: int, W: int) -> int:
     """Composed grids are denser (resized cells, AA text labels, borders):
-    measured max ~H*W/18.5 runs — H*W/12 gives 1.5x headroom.  An
-    undersized budget is costly, not wrong: every overflow falls back to
-    a raw device-frame fetch (~60 ms each on the dev relay)."""
-    return max(2048, (H * W) // 12)
+    measured max 11.1k runs on 296x512 grids (组合), 9.3k on 216x512
+    (直接叠加) — H*W/9 covers both.  An undersized budget is costly, not
+    wrong: every overflow falls back to a raw device-frame fetch (~60 ms
+    each on the dev relay); the adaptive shrink reclaims the headroom."""
+    return max(2048, (H * W) // 9)
 
 
 def pack_frame_rle(img: jnp.ndarray, max_runs: int):
@@ -94,3 +99,78 @@ def unpack_frame_rle(starts: np.ndarray, colors: np.ndarray, count: int,
     img[:, 1] = (flat >> 8) & 0xFF
     img[:, 2] = flat & 0xFF
     return img.reshape(H, W, 3)
+
+
+# ---- v2: length+color codec at 5 bytes/run (u16 length + u8 RGB) ----
+#
+# The v1 transfer spends 8 bytes/run (u32 start + u32 packed color); the
+# u32 start is redundant — consecutive run lengths describe the same
+# positions in 2 bytes once no run exceeds 65535 pixels, which the encoder
+# guarantees by forcing a run break at every multiple of 65535 (adds at
+# most ceil(H*W/65535)-1 ~ 3 runs on a 512^2 frame).  Colors travel as
+# 3 raw u8 channels.  Decode is np.repeat over lengths; the C PNG encoder
+# (io/native/fastpng.c::fastpng_write_rle) consumes this stream directly
+# without materializing host pixels.
+
+U16_RUN = 65535
+
+
+def pack_frame_rle2(img: jnp.ndarray, max_runs: int):
+    """u8 [H, W, 3] -> (lengths u16 [max_runs], colors u8 [max_runs, 3],
+    count i32)."""
+    H, W = img.shape[:2]
+    n = H * W
+    flat = (img[..., 0].astype(jnp.uint32) << 16
+            | img[..., 1].astype(jnp.uint32) << 8
+            | img[..., 2].astype(jnp.uint32)).reshape(n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    boundary = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    boundary = boundary | (idx % U16_RUN == 0)
+    pos = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    count = pos[-1] + 1
+    # compact boundary positions/colors into static run slots (cumsum +
+    # scatter-with-drop; see pack_frame_rle for why not flatnonzero)
+    tgt = jnp.where(boundary, pos, max_runs)
+    starts = jnp.zeros((max_runs,), jnp.int32).at[tgt].set(idx, mode="drop")
+    colors = jnp.zeros((max_runs,), jnp.uint32).at[tgt].set(
+        flat, mode="drop")
+    # run i length = next start - own start; the slot after the last live
+    # run holds 0 (scatter-dropped), so patch it to n via the count test
+    slot = jnp.arange(max_runs, dtype=jnp.int32)
+    nxt = jnp.concatenate([starts[1:], jnp.zeros((1,), jnp.int32)])
+    nxt = jnp.where(slot == count - 1, n, nxt)
+    lengths = jnp.where(slot < count, nxt - starts, 0)
+    lengths = jnp.clip(lengths, 0, U16_RUN).astype(jnp.uint16)
+    rgb = jnp.stack([(colors >> 16) & 0xFF, (colors >> 8) & 0xFF,
+                     colors & 0xFF], axis=-1).astype(jnp.uint8)
+    return lengths, rgb, count
+
+
+@partial(jax.jit, static_argnames=("max_runs",))
+def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
+    """u8 [..., H, W, 3] with any leading dims."""
+    lead = imgs.shape[:-3]
+    flat = imgs.reshape((-1,) + imgs.shape[-3:])
+    lengths, colors, count = jax.vmap(
+        lambda x: pack_frame_rle2(x, max_runs))(flat)
+    return (lengths.reshape(lead + lengths.shape[1:]),
+            colors.reshape(lead + colors.shape[1:]),
+            count.reshape(lead))
+
+
+def unpack_frame_rle2(lengths: np.ndarray, colors: np.ndarray, count: int,
+                      shape) -> np.ndarray:
+    """Host-side exact reconstruction of the v2 stream.  OverflowError when
+    the frame exceeded the run budget (caller fetches the raw frame)."""
+    H, W = shape[:2]
+    n = H * W
+    if count > lengths.shape[0]:
+        raise OverflowError(
+            f"rle2 frame overflow: {count} > {lengths.shape[0]}")
+    ln = np.asarray(lengths[:count], np.int64)
+    total = int(ln.sum())
+    if total != n:  # truncated/corrupt stream — treat as overflow
+        raise OverflowError(f"rle2 length sum {total} != {n}")
+    return np.repeat(np.asarray(colors[:count], np.uint8), ln,
+                     axis=0).reshape(H, W, 3)

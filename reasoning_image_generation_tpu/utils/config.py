@@ -109,10 +109,11 @@ class GenConfig:
     # composed grids are denser (borders, labels, resized cells): measured
     # p99 = 0.46, max = 0.47
     sparse_budget_grid: float = 0.55
-    # which codec sparse_transfer uses: 'rle' (row-major run-length over
-    # packed RGB, ops/rle.py — ~4x fewer bytes than 'sparse' on measured
-    # outputs) or 'sparse' (8x8 block codec, ops/sparse.py)
-    transfer_codec: str = "rle"
+    # which codec sparse_transfer uses: 'rle2' (u16 run length + u8 RGB,
+    # 5 bytes/run — the default), 'rle' (u32 start + u32 packed color,
+    # 8 bytes/run), or 'sparse' (8x8 block codec, ops/sparse.py).  All are
+    # lossless with a raw-frame fallback on budget overflow.
+    transfer_codec: str = "rle2"
     # RLE run budgets (max runs per frame; overflow falls back to a raw
     # transfer).  Measured: state/option frames p50 ~2.4k runs, max 3.2k;
     # composed grids max ~8.2k.  0 = defaults: H*W/32 for frames

@@ -1,9 +1,10 @@
-# test_rle.py — lossless RLE transfer codec (ops/rle.py).
+# test_rle.py — lossless RLE transfer codecs (ops/rle.py).
 import numpy as np
 import jax.numpy as jnp
 
 from reasoning_image_generation_tpu.ops.rle import (
-    pack_frame_rle, pack_batch_rle, unpack_frame_rle, default_budget)
+    pack_frame_rle, pack_batch_rle, unpack_frame_rle, default_budget,
+    pack_frame_rle2, pack_batch_rle2, unpack_frame_rle2, U16_RUN)
 
 
 def _img(seed=0, n_rects=6, H=64, W=64):
@@ -60,8 +61,68 @@ def test_pack_batch_leading_dims():
 
 
 def test_default_budget_monotone():
-    assert default_budget(512, 512) == 512 * 512 // 32
+    assert default_budget(512, 512) == 512 * 512 // 24
     assert default_budget(8, 8) == 1024  # floor
+
+
+# ---- v2 codec: u16 length + u8 RGB (5 bytes/run) ----
+
+def test_rle2_roundtrip_exact():
+    img = _img(0)
+    ln, co, count = pack_frame_rle2(jnp.asarray(img), 2048)
+    assert ln.dtype == jnp.uint16 and co.dtype == jnp.uint8
+    back = unpack_frame_rle2(np.asarray(ln), np.asarray(co),
+                             int(count), (64, 64))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rle2_long_run_split():
+    # a uniform 300x512 frame has one 153600-px run; the encoder must
+    # split it at U16_RUN boundaries so every length fits u16
+    img = np.full((300, 512, 3), 7, np.uint8)
+    ln, co, count = pack_frame_rle2(jnp.asarray(img), 64)
+    n = 300 * 512
+    assert int(count) == -(-n // U16_RUN)
+    ln, co = np.asarray(ln), np.asarray(co)
+    assert ln[:int(count)].sum() == n
+    back = unpack_frame_rle2(ln, co, int(count), (300, 512))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rle2_overflow_detected():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (64, 64, 3), np.uint8)
+    ln, co, count = pack_frame_rle2(jnp.asarray(img), 128)
+    assert int(count) > 128
+    try:
+        unpack_frame_rle2(np.asarray(ln), np.asarray(co), int(count),
+                          (64, 64))
+        assert False, "expected OverflowError"
+    except OverflowError:
+        pass
+
+
+def test_rle2_truncated_stream_detected():
+    # a stream sliced below its count must fail the length-sum check, not
+    # silently produce a short image
+    img = _img(2)
+    ln, co, count = pack_frame_rle2(jnp.asarray(img), 2048)
+    ln, co = np.asarray(ln).copy(), np.asarray(co)
+    ln[int(count) - 1] = 0  # corrupt: total no longer H*W
+    try:
+        unpack_frame_rle2(ln, co, int(count), (64, 64))
+        assert False, "expected OverflowError"
+    except OverflowError:
+        pass
+
+
+def test_rle2_batch_matches_frame():
+    imgs = np.stack([_img(i) for i in range(4)])
+    ln, co, count = pack_batch_rle2(jnp.asarray(imgs), 2048)
+    for i in range(4):
+        back = unpack_frame_rle2(np.asarray(ln[i]), np.asarray(co[i]),
+                                 int(count[i]), (64, 64))
+        np.testing.assert_array_equal(back, imgs[i])
 
 
 def test_generator_end_to_end_with_rle(tmp_path):
