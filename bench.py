@@ -8,6 +8,19 @@ Baseline: the reference CPU pipeline (/root/reference/src/cli.py) measured
 on this host at 0.202 samples/s (32-sample run, single CPU core,
 2026-08-16).  The reference publishes no benchmark numbers of its own
 (BASELINE.md), so the measured-on-this-host number is the denominator.
+
+Stages:
+  1. device-only samples/s (north-star: BASELINE.json images/sec/chip)
+  2. e2e full export (state/option/grid PNGs + meta/coco JSON)
+  3. e2e grid-only export
+  4. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
+     leaves weighted (reference README.md:8 — the <10 s / 1k target),
+     both grid-only and full-export variants
+  5. multigraph device + e2e rates
+
+Every e2e stage reports measured device->host bytes/sample alongside the
+rate: the dev relay's bandwidth swings 4-28 MB/s minute to minute, so
+bytes/sample is the round-over-round comparable number.
 """
 from __future__ import annotations
 
@@ -21,63 +34,71 @@ import time
 REFERENCE_BASELINE_SPS = 0.202
 
 N_TIMED = 128
+N_BASELINE = 1024
 
-# Two leaves per structural family (position-transform L=4, overlay L=6,
-# traversal L=4), 6 of 9 total, so rotate- and diff-overlay-family
-# throughput is measured rather than asserted.  Per-sample cost matches the
-# full mix (rendering dominates; rule arithmetic is negligible); compile
-# count is 6 pipelines — the remote-compile service in this environment is
-# the long pole and does not hit the persistent cache.
-BENCH_WEIGHTS = {"平移": 1.0, "旋转": 1.0, "翻转(镜像)": 0.0, "组合": 1.0,
-                 "直接叠加": 1.0, "去同存异": 1.0, "去异存同": 0.0,
-                 "单一遍历": 1.0, "位置遍历": 0.0}
+# All 9 leaves weighted like the production default (uniform): every
+# pipeline's throughput is measured, none asserted.  Compiles are one-time
+# under the persistent XLA cache.
+BENCH_WEIGHTS = {"平移": 1.0, "旋转": 1.0, "翻转(镜像)": 1.0, "组合": 1.0,
+                 "直接叠加": 1.0, "去同存异": 1.0, "去异存同": 1.0,
+                 "单一遍历": 1.0, "位置遍历": 1.0}
 
 # Reference multigraph pipeline baseline.  NOT measurable on this host:
 # the reference hard-imports shapely (multigraph_generation/generator.py:26)
 # which is not installed here.  0.5 imgs/s is a structural estimate —
 # matplotlib figure + savefig at dpi 200 (1600^2) costs ~1-2 s/img alone,
 # plus the shapely adjacency search (180-angle x distance-ladder sweeps,
-# multigraph_generation/multi_combinator.py:1001-1032).
+# multigraph_generation/multi_combinator.py:1001-1032).  The JSON field is
+# suffixed _estimated accordingly.
 REFERENCE_MG_BASELINE_IPS = 0.5  # estimate; reference unrunnable (no shapely)
 
 
+def _timed_export(gen, warm_ids, timed_ids, **kw):
+    """One untimed pass (stats/tiers/allocator warm), then a timed pass.
+    Returns (samples/s, bytes/sample, metas)."""
+    gen.generate_ids(warm_ids, **kw)
+    gen._pool.drain()
+    b0 = gen.transfer_bytes
+    t0 = time.time()
+    metas = gen.generate_ids(timed_ids, **kw)
+    gen._pool.drain()
+    dt = time.time() - t0
+    bps = (gen.transfer_bytes - b0) / max(len(metas), 1)
+    return len(metas) / dt, bps, metas
+
+
 def _run_once():
+    import numpy as np
     from reasoning_image_generation_tpu.utils.config import GenConfig
     from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+    from reasoning_image_generation_tpu.models.rpm.pipeline import sample_keys
 
     out_dir = tempfile.mkdtemp(prefix="rig_bench_")
+    res = {}
     try:
         # sparse_transfer stays off for the DEVICE-rate runs (the codec
         # costs ~2x device time and the headline metric is device
-        # samples/s); the e2e runs below use their own sparse-enabled
+        # samples/s); the e2e runs below use their own codec-enabled
         # pipelines because the device->host link is the e2e bottleneck
         # on this host (measured: raw link ~5-20 MB/s and varying).
         cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                         category_weights=dict(BENCH_WEIGHTS))
         gen = RPMGeneratorTPU(cfg)
         ids = list(range(N_TIMED))
-        # warm-up: compile every pipeline the timed runs need, without
-        # pulling images to the host (no transfer/export cost)
         print("bench: warming up (compiles)...", file=sys.stderr, flush=True)
         gen.warmup(ids)
 
         # timed run 1 — the north-star metric (BASELINE.json): rendered
-        # puzzle samples/sec/chip at 512^2, on-device (all states, options
-        # and the composed grid materialized in HBM; no host transfer).
-        # Latency-amortized: this host's device relay costs ~36 ms per
-        # sync, so per-batch blocking understates device throughput ~8x;
-        # measure_device_rate queues 10 dispatches per sync instead.  The
-        # per-batch-blocking number is reported alongside so methodology
-        # changes can't masquerade as perf deltas.
+        # puzzle samples/sec/chip at 512^2, on-device.  Latency-amortized
+        # (10 dispatches per sync — a single sync costs ~36 ms on this
+        # relay); the per-dispatch-blocking number is reported alongside
+        # so methodology changes can't masquerade as perf deltas.
         print("bench: device-only run...", file=sys.stderr, flush=True)
-        device_sps = gen.measure_device_rate(ids, iters=10)
-        device_sps_blocking = gen.measure_device_rate(ids, iters=10,
-                                                      blocking=True)
+        res["device_sps"] = gen.measure_device_rate(ids, iters=10)
+        res["device_sps_blocking"] = gen.measure_device_rate(
+            ids, iters=10, blocking=True)
 
         # quantify the link: raw device->host MB/s for one batch's images
-        import numpy as np
-        from reasoning_image_generation_tpu.models.rpm.pipeline import (
-            sample_keys)
         leaf, entries = next(iter(gen._sample_assignments(ids).items()))
         pipe = gen._pipeline(leaf)
         chunk = entries[:cfg.batch_size]
@@ -89,30 +110,36 @@ def _run_once():
         t0 = time.time()
         nbytes = sum(np.asarray(out[k]).nbytes
                      for k in ("state_imgs", "option_imgs", "grid_img"))
-        link_mbps = nbytes / max(time.time() - t0, 1e-9) / 1e6
+        res["link_mbps"] = nbytes / max(time.time() - t0, 1e-9) / 1e6
         gen.close()
 
         # timed run 2 — end-to-end full export (all state/option/grid PNGs
-        # + meta/coco JSON), RLE transfer codec on: the device->host link
-        # is the e2e bottleneck on this host.  One untimed pass first so
-        # the host decode-buffer ring and allocator are warm — steady
-        # state is what a production-length run sees (the first ~3 batches
-        # pay this host's ~20 MB/s first-touch page faults).
-        print("bench: end-to-end run (warmup pass)...", file=sys.stderr,
-              flush=True)
+        # + meta/coco JSON), rle2 transfer codec on: the device->host link
+        # is the e2e bottleneck on this host.
+        print("bench: e2e full-export run...", file=sys.stderr, flush=True)
+        ids2 = list(range(N_TIMED, 2 * N_TIMED))
         cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
                          category_weights=dict(BENCH_WEIGHTS),
                          sparse_transfer=True)
         gen2 = RPMGeneratorTPU(cfg2)
-        ids2 = list(range(N_TIMED, 2 * N_TIMED))
         gen2.warmup(ids + ids2)
-        gen2.generate_ids(ids)
-        gen2._pool.drain()
-        print("bench: end-to-end run (timed)...", file=sys.stderr, flush=True)
+        res["e2e_sps"], res["e2e_bytes_per_sample"], _ = _timed_export(
+            gen2, ids, ids2)
+
+        # timed run 4a — the literal BASELINE scenario, full export:
+        # ~1k samples, dedup on (reference README.md:8; <10 s target)
+        print("bench: 1k dedup full-export run...", file=sys.stderr,
+              flush=True)
+        idsk = list(range(10_000, 10_000 + N_BASELINE))
+        b0 = gen2.transfer_bytes
         t0 = time.time()
-        metas = gen2.generate_ids(ids2)
+        metas = gen2.generate_ids(idsk, dedup=True)
         gen2._pool.drain()
-        e2e_sps = len(metas) / (time.time() - t0)
+        res["baseline_1k_full_s"] = time.time() - t0
+        res["baseline_1k_full_bytes_per_sample"] = (
+            (gen2.transfer_bytes - b0) / N_BASELINE)
+        res["baseline_1k_full_kept"] = sum(
+            1 for m in metas if not m.get("duplicate") and not m.get("error"))
         gen2.close()
         shutil.rmtree(out_dir + "_s", ignore_errors=True)
 
@@ -124,24 +151,29 @@ def _run_once():
                          sparse_transfer=True, grid_only=True)
         gen3 = RPMGeneratorTPU(cfg3)
         gen3.warmup(ids + ids2)
-        gen3.generate_ids(ids)  # warm ring/allocator (see run 2)
-        gen3._pool.drain()
+        (res["e2e_grid_only_sps"], res["grid_bytes_per_sample"],
+         _) = _timed_export(gen3, ids, ids2)
+
+        # timed run 4b — BASELINE scenario, grid-only
+        print("bench: 1k dedup grid-only run...", file=sys.stderr,
+              flush=True)
         t0 = time.time()
-        metas3 = gen3.generate_ids(ids2)
+        metas = gen3.generate_ids(idsk, dedup=True)
         gen3._pool.drain()
-        e2e_grid_only_sps = len(metas3) / (time.time() - t0)
+        res["baseline_1k_grid_s"] = time.time() - t0
+        res["baseline_1k_grid_kept"] = sum(
+            1 for m in metas if not m.get("duplicate") and not m.get("error"))
         gen3.close()
         shutil.rmtree(out_dir + "_g", ignore_errors=True)
-        return (device_sps, device_sps_blocking, e2e_sps,
-                e2e_grid_only_sps, link_mbps)
+        return res
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
     """Multigraph (single-image) pipeline throughput: device imgs/s
-    (latency-amortized) and e2e imgs/s incl. PNG+JSON export at dpi 200
-    (the reference's second pipeline,
+    (latency-amortized) and steady-state e2e imgs/s incl. PNG+JSON export
+    at dpi 200 (the reference's second pipeline,
     /root/reference/multigraph_generation/cli.py:30-72)."""
     import numpy as np
     from reasoning_image_generation_tpu.models.multigraph.generator import (
@@ -173,23 +205,33 @@ def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
 
     print("bench: multigraph e2e run...", file=sys.stderr, flush=True)
     out_dir = tempfile.mkdtemp(prefix="rig_bench_mg_")
-    try:
-        t0 = time.time()
+
+    def run_batches(tag, lo):
         n = 0
         for bi in range(n_batches):
-            s = [bi * B + i for i in range(B)]
+            s = [lo + bi * B + i for i in range(B)]
             gen.generate_batch(
                 s, modes,
-                [os.path.join(out_dir, f"{i}_adjacent.png") for i in s],
-                [os.path.join(out_dir, f"{i}_adjacent.json") for i in s],
+                [os.path.join(out_dir, f"{tag}{i}_adjacent.png") for i in s],
+                [os.path.join(out_dir, f"{tag}{i}_adjacent.json") for i in s],
                 dpi=dpi)
             n += B
         gen._pool.drain()
+        return n
+
+    try:
+        # untimed warmup pass: first pack/coalesce compiles + transfer-tier
+        # statistics — steady state is what a production run sees
+        run_batches("w", 0)
+        b0 = gen.transfer_bytes
+        t0 = time.time()
+        n = run_batches("t", 1000)
         e2e_ips = n / (time.time() - t0)
+        bpi = (gen.transfer_bytes - b0) / n
     finally:
         gen.close()
         shutil.rmtree(out_dir, ignore_errors=True)
-    return device_ips, e2e_ips
+    return device_ips, e2e_ips, bpi
 
 
 def main():
@@ -200,11 +242,12 @@ def main():
     last_err = None
     for attempt in range(3):
         try:
-            (device_sps, device_sps_blocking, e2e_sps,
-             e2e_grid_only_sps, link_mbps) = _run_once()
+            res = _run_once()
             break
         except Exception as e:  # pragma: no cover
             last_err = e
+            import traceback
+            traceback.print_exc()
             print(f"bench: attempt {attempt} failed: {e}", file=sys.stderr,
                   flush=True)
             time.sleep(10)
@@ -212,24 +255,34 @@ def main():
         raise last_err
 
     try:
-        mg_device_ips, mg_e2e_ips = _run_multigraph()
+        mg_device_ips, mg_e2e_ips, mg_bpi = _run_multigraph()
     except Exception as e:  # pragma: no cover
         print(f"bench: multigraph failed: {e}", file=sys.stderr, flush=True)
-        mg_device_ips = mg_e2e_ips = 0.0
+        mg_device_ips = mg_e2e_ips = mg_bpi = 0.0
 
     print(json.dumps({
         "metric": "rpm_samples_per_sec_device",
-        "value": round(device_sps, 3),
+        "value": round(res["device_sps"], 3),
         "unit": "samples/s",
-        "vs_baseline": round(device_sps / REFERENCE_BASELINE_SPS, 2),
-        "device_sps_blocking": round(device_sps_blocking, 3),
-        "e2e_samples_per_sec": round(e2e_sps, 3),
-        "e2e_vs_baseline": round(e2e_sps / REFERENCE_BASELINE_SPS, 2),
-        "e2e_grid_only_sps": round(e2e_grid_only_sps, 3),
-        "host_link_mbps": round(link_mbps, 2),
+        "vs_baseline": round(res["device_sps"] / REFERENCE_BASELINE_SPS, 2),
+        "device_sps_blocking": round(res["device_sps_blocking"], 3),
+        "e2e_samples_per_sec": round(res["e2e_sps"], 3),
+        "e2e_vs_baseline": round(res["e2e_sps"] / REFERENCE_BASELINE_SPS, 2),
+        "e2e_bytes_per_sample": round(res["e2e_bytes_per_sample"]),
+        "e2e_grid_only_sps": round(res["e2e_grid_only_sps"], 3),
+        "grid_bytes_per_sample": round(res["grid_bytes_per_sample"]),
+        "baseline_1k_grid_s": round(res["baseline_1k_grid_s"], 2),
+        "baseline_1k_grid_kept": res["baseline_1k_grid_kept"],
+        "baseline_1k_full_s": round(res["baseline_1k_full_s"], 2),
+        "baseline_1k_full_kept": res["baseline_1k_full_kept"],
+        "baseline_1k_full_bytes_per_sample": round(
+            res["baseline_1k_full_bytes_per_sample"]),
+        "host_link_mbps": round(res["link_mbps"], 2),
         "mg_imgs_per_sec_device": round(mg_device_ips, 3),
         "mg_e2e_imgs_per_sec": round(mg_e2e_ips, 3),
-        "mg_vs_baseline": round(mg_device_ips / REFERENCE_MG_BASELINE_IPS, 2),
+        "mg_bytes_per_img": round(mg_bpi),
+        "mg_vs_baseline_estimated": round(
+            mg_device_ips / REFERENCE_MG_BASELINE_IPS, 2),
     }))
 
 

@@ -19,6 +19,8 @@ import logging
 import os
 import time
 
+import numpy as np
+
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser()
@@ -64,11 +66,11 @@ def parse_args(argv=None):
     p.add_argument("--host_id", type=int, default=0,
                    help="this host's rank in [0, num_hosts)")
     p.add_argument("--coordinator", type=str, default=None,
-                   help="host:port of the jax.distributed coordinator; "
-                        "when given, chips across hosts form one system "
-                        "(enables the cross-host dedup collective). "
-                        "Without it hosts run independently — dedup is "
-                        "per-host, export shards are still disjoint.")
+                   help="unsupported for this pipeline: hosts run "
+                        "independently over disjoint id shards and the "
+                        "merge step dedups across hosts via the pHashes "
+                        "carried in every meta — no lockstep collective "
+                        "is needed.  Passing a coordinator is an error.")
     return p.parse_args(argv)
 
 
@@ -90,37 +92,94 @@ def enable_compilation_cache():
         pass
 
 
-def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None):
-    """Merge per-host index shards (index_host*.json) into index.json.
-    Safe to run on any host once all hosts finished; id-sorted like the
-    reference's single index (reference src/cli.py:49-52).
+def _merge_dedup(metas, dedup_threshold: int,
+                 remove_artifacts: bool = True) -> None:
+    """Greedy first-wins-by-id pHash dedup across merged metas, vectorized.
+
+    Mirrors the generator's on-device corpus pass
+    (ops/phash.dedup_keep_mask): a sample is a duplicate when within
+    `dedup_threshold` Hamming bits of any earlier kept sample.  The inner
+    test is one numpy xor + popcount against the whole kept matrix
+    (bit-parallel via unpackbits on the u8 hash bytes), so a 1e5-sample
+    merge is seconds, not hours.  Samples marked duplicate here get their
+    already-exported artifacts deleted (in-generator duplicates are never
+    exported, so this keeps the on-disk dataset consistent)."""
+    cand = [m for m in metas
+            if not m.get("duplicate") and not m.get("error")
+            and m.get("grid_phash")]
+    if not cand:
+        return
+    hashes = np.stack([np.frombuffer(bytes.fromhex(m["grid_phash"]),
+                                     np.uint8) for m in cand])
+    kept = np.empty_like(hashes)
+    n_kept = 0
+    for m, h in zip(cand, hashes):
+        if n_kept:
+            dist = np.unpackbits(kept[:n_kept] ^ h[None, :],
+                                 axis=1).sum(axis=1)
+            if int(dist.min()) <= dedup_threshold:
+                m["duplicate"] = True
+                if remove_artifacts:
+                    _remove_sample_artifacts(m)
+                continue
+        kept[n_kept] = h
+        n_kept += 1
+
+
+def _remove_sample_artifacts(meta: dict) -> None:
+    """Delete the exported files of a merge-time duplicate."""
+    import shutil
+    d = meta.get("sample_dir")
+    if d and os.path.isdir(d):
+        shutil.rmtree(d, ignore_errors=True)
+    g = meta.get("grid_path")
+    if g and os.path.exists(g):
+        try:
+            os.remove(g)
+        except OSError:
+            pass
+
+
+def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
+                       num_hosts: int | None = None):
+    """Merge per-host index shards (index_hostNN.json) into index.json;
+    id-sorted like the reference's single index (reference src/cli.py:49-52).
+
+    Shards are written atomically (temp + os.replace), so a partially
+    written file is never visible; a shard that still fails to parse is
+    treated as not-yet-present.  With `num_hosts`, the merge only happens
+    once ALL shards 0..num_hosts-1 exist (returns None otherwise — the
+    last host to finish performs it), and stale shards from a previous run
+    with a larger host count are ignored.
 
     With `dedup_threshold`, additionally runs the corpus dedup ACROSS
     hosts: every meta carries its grid pHash, so the same greedy
-    first-wins-by-id pass the generator applies on-device
-    (ops/phash.dedup_keep_mask) marks cross-host near-duplicates here —
-    deterministic, independent of host count, and requiring no lockstep
-    collective between otherwise-independent hosts."""
+    first-wins-by-id pass the generator applies on-device marks
+    cross-host near-duplicates here — deterministic, independent of host
+    count, and requiring no lockstep collective between otherwise-
+    independent hosts.  Merge-time duplicates get their exported
+    artifacts deleted so the on-disk dataset matches the index."""
     import glob
-    metas = []
+    import re
+    shards = {}
     for path in sorted(glob.glob(os.path.join(out_dir, "index_host*.json"))):
-        with open(path, encoding="utf-8") as f:
-            metas.extend(json.load(f))
+        m = re.search(r"index_host(\d+)\.json$", path)
+        if not m:
+            continue
+        rank = int(m.group(1))
+        if num_hosts is not None and rank >= num_hosts:
+            continue  # stale shard from a previous, larger run
+        try:
+            with open(path, encoding="utf-8") as f:
+                shards[rank] = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            shards.pop(rank, None)  # unreadable == not yet present
+    if num_hosts is not None and set(shards) != set(range(num_hosts)):
+        return None  # another host will finish later and merge
+    metas = [m for rank in sorted(shards) for m in shards[rank]]
     metas.sort(key=lambda m: m.get("id", m.get("index", 0)))
     if dedup_threshold is not None:
-        kept = []  # (hash bytes) of kept samples, in id order
-        for m in metas:
-            h = m.get("grid_phash")
-            if m.get("duplicate") or m.get("error") or h is None:
-                continue
-            hb = bytes.fromhex(h)
-            dup = any(
-                sum(bin(a ^ b).count("1") for a, b in zip(hb, k))
-                <= dedup_threshold for k in kept)
-            if dup:
-                m["duplicate"] = True
-            else:
-                kept.append(hb)
+        _merge_dedup(metas, dedup_threshold)
     write_index(out_dir, metas)
     return metas
 
@@ -130,10 +189,12 @@ def main(argv=None):
     args = parse_args(argv)
     enable_compilation_cache()
     if args.coordinator:
-        from .parallel.mesh import distributed_init
-        distributed_init(coordinator_address=args.coordinator,
-                         num_processes=args.num_hosts,
-                         process_id=args.host_id)
+        raise SystemExit(
+            "--coordinator is not supported: hosts scale out "
+            "independently over disjoint id shards "
+            "(--num_hosts/--host_id); the merge step dedups across hosts "
+            "via the pHash carried in every meta, so no lockstep "
+            "collective is needed.")
     from .utils.config import GenConfig
     from .models.rpm.generator import RPMGeneratorTPU
 
@@ -169,6 +230,13 @@ def main(argv=None):
         from .parallel.mesh import host_shard_ids
         ids = host_shard_ids(ids, process_index=args.host_id,
                              process_count=args.num_hosts)
+        # clear this host's shard from any previous run so the
+        # all-shards-present merge gate waits for THIS run's output
+        try:
+            os.remove(os.path.join(args.out_dir,
+                                   f"index_host{args.host_id:02d}.json"))
+        except OSError:
+            pass
     t0 = time.time()
     print(f"Start generating {len(ids)} samples -> {args.out_dir} "
           f"(batch={args.batch_size}, seed={args.seed})")
@@ -181,12 +249,16 @@ def main(argv=None):
     if args.num_hosts > 1:
         shard_path = os.path.join(args.out_dir,
                                   f"index_host{args.host_id:02d}.json")
-        with open(shard_path, "w", encoding="utf-8") as f:
+        # atomic publish: concurrent mergers never see a torn shard
+        tmp = shard_path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(metas, f, ensure_ascii=False, indent=2)
-        # last host to finish leaves a merged index.json behind; the merge
-        # is idempotent so concurrent finishers just rewrite the same file
+        os.replace(tmp, shard_path)
+        # only the host that observes the complete shard set merges (the
+        # others get None back); the merge itself is idempotent
         merge_host_indexes(args.out_dir,
-                           args.dedup_threshold if args.dedup else None)
+                           args.dedup_threshold if args.dedup else None,
+                           num_hosts=args.num_hosts)
     else:
         write_index(args.out_dir, metas)
     dt = time.time() - t0

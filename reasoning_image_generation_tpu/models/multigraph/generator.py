@@ -85,6 +85,8 @@ class GeometryGeneratorTPU:
         # largest run count observed — drives the adaptive shrink of the
         # static transfer buffer (io/transfer.py::coalesce_shrunk)
         self._run_stats: Dict[str, int] = {}
+        # device->host bytes actually moved (bench.py reports bytes/img)
+        self.transfer_bytes: int = 0
         self.generation_history: List[Dict] = []
         if renderer == "auto":
             import jax
@@ -146,11 +148,14 @@ class GeometryGeneratorTPU:
             specs = shrunk_specs(leaves, sizes)
         else:
             blob = np.asarray(coalesce(leaves))
+        self.transfer_bytes += blob.nbytes
         ln, co, cnt = split_blob(blob, treedef, specs)
         cnt = np.asarray(cnt)
         self._run_stats["mg"] = max(self._run_stats.get("mg", 0),
                                     int(cnt.max()))
         over = overflow_pixels((ln, co, cnt), imgs, cnt.shape[0])
+        if over:
+            self.transfer_bytes += sum(a.nbytes for a in over.values())
         return ln, co, cnt, over, (H, W)
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,

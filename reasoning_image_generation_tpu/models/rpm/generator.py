@@ -70,21 +70,39 @@ class RPMGeneratorTPU:
         # adaptive shrink of the static codec buffers before transfer
         # (io/transfer.py::coalesce_shrunk)
         self._run_stats: Dict[str, int] = {}
+        # device->host bytes actually moved (blob + overflow fetches) —
+        # bench.py reports bytes/sample so perf deltas can't hide in
+        # relay-bandwidth weather
+        self.transfer_bytes: int = 0
         self.mesh = self._maybe_make_mesh()
 
     def _maybe_make_mesh(self):
-        """Build the 1-D data mesh when several devices are visible.
+        """Build the 1-D data mesh over this host's LOCAL chips.
 
         The TPU-native equivalent of the reference's process-pool fan-out
         over sample ids (reference src/cli.py:85-129): the per-sample batch
-        axis is sharded over every chip, and the corpus dedup's pHash
-        all_gather is the workload's only collective."""
+        axis is sharded over every local chip, and the corpus dedup's
+        pHash all_gather is the workload's only collective.
+
+        Multi-host scale-out is one independent process per host over a
+        disjoint id shard (--num_hosts/--host_id) with merge-time
+        cross-host dedup (cli.merge_host_indexes): each host's leaf-group
+        sequence depends on its own id shard, so a global lockstep mesh
+        cannot be fed coherently from per-host batches — the generator
+        refuses a multi-process JAX runtime rather than deadlock in the
+        first cross-DCN collective."""
         import jax
         from ...parallel.mesh import make_mesh
         want = getattr(self.cfg, "use_mesh", "auto")
         if want is False:
             return None
-        n_dev = len(jax.devices())
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "RPMGeneratorTPU does not run under a multi-process JAX "
+                "runtime (jax.distributed): launch one independent process "
+                "per host with --num_hosts/--host_id instead — disjoint id "
+                "shards, merge-time cross-host dedup.")
+        n_dev = len(jax.local_devices())
         if want == "auto" and n_dev <= 1:
             return None
         # largest device count that divides the batch (exactly one compiled
@@ -264,9 +282,16 @@ class RPMGeneratorTPU:
             sample_ids = remaining
         self._dedup = dedup
         self._dedup_threshold = dedup_threshold
-        # fixed-capacity corpus of kept pHashes (device dedup needs static
-        # shapes; the buffer doubles on overflow, recompiling once per size)
-        self._corpus_buf = np.zeros((4096, 8), np.uint8)
+        # fixed-capacity corpus of kept pHashes, pre-sized for this run
+        # (device dedup needs static shapes; at most len(sample_ids)
+        # hashes can ever be kept, so sizing up front avoids the mid-run
+        # doubling recompile — 30-200 s on this compile service).  Power-
+        # of-2 quantization keeps the compiled-shape count logarithmic
+        # when generate_ids is called repeatedly with growing id lists.
+        cap = 4096
+        while cap < len(sample_ids):
+            cap *= 2
+        self._corpus_buf = np.zeros((cap, 8), np.uint8)
         self._corpus_count = 0
 
         groups = self._sample_assignments(sample_ids)
@@ -443,7 +468,9 @@ class RPMGeneratorTPU:
             # ragged tail.  Raw device handles stay full for the same
             # reason (and sharded dedup needs even shards).
             blob, treedef, specs, raw, n_real = out
-            full = _split_blob(np.asarray(blob), treedef, specs)
+            blob_np = np.asarray(blob)
+            self.transfer_bytes += blob_np.nbytes
+            full = _split_blob(blob_np, treedef, specs)
             out = {k: (v if k.endswith("_packed")
                        else jax.tree.map(lambda a: a[:n_real], v))
                    for k, v in full.items()}
@@ -478,6 +505,9 @@ class RPMGeneratorTPU:
                 over_opt = overflow_pixels(
                     out["option_imgs_packed"], out["option_imgs"],
                     n_real * O)
+            for m in (over_grid, over_state, over_opt):
+                if m:
+                    self.transfer_bytes += sum(a.nbytes for a in m.values())
         else:
             # decode into ring buffers: fresh 100 MB state/option tensors
             # cost ~9 s/batch in first-touch page faults on this host.  A
@@ -591,7 +621,7 @@ class RPMGeneratorTPU:
                 sample_states, sample_options, perm, int(correct[b]),
                 sample_params, bool(use_grid), self.cfg.grid_size,
                 self.cfg.canvas_size, layout, self.cfg.seed,
-                (self.cfg.seed or 0) + sid)
+                (self.cfg.seed or 0) + sid, grid_only=grid_only)
             meta["grid_phash"] = bytes(phashes[b]).hex()
             if self.cfg.export_json:
                 self._pool.submit_json(os.path.join(sample_dir, "meta.json"), meta)

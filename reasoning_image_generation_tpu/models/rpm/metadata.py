@@ -250,11 +250,19 @@ def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
                       states: ElementState, options: ElementState,
                       perm: np.ndarray, correct_index: int,
                       params, use_grid: bool, grid_size: int,
-                      canvas_size, layout, cfg_seed, sample_seed) -> Dict:
-    """Full meta.json dict for one sample (reference src/generator.py:574-590)."""
+                      canvas_size, layout, cfg_seed, sample_seed,
+                      grid_only: bool = False) -> Dict:
+    """Full meta.json dict for one sample (reference src/generator.py:574-590).
+
+    With `grid_only`, per-frame image paths are None — those PNGs are
+    never written (the grid is the only exported image), so consumers
+    walking the index must not be handed dangling paths."""
     L = _np(states.valid).shape[0]
     O = _np(options.valid).shape[0]
     now = datetime.now(timezone.utc).isoformat()
+
+    def fpath(name):
+        return None if grid_only else os.path.join(sample_dir, name)
 
     def frame(tree, t):
         import jax
@@ -265,7 +273,7 @@ def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
         rule_info = None if t == 0 else serialize_rule_info(
             leaf, params, t, use_grid, grid_size, states)
         sequence_meta.append({
-            "state_path": os.path.join(sample_dir, f"state_{t}.png"),
+            "state_path": fpath(f"state_{t}.png"),
             "elements": state_to_dicts(frame(states, t)),
             "canvas_size": list(canvas_size),
             "rule_info": rule_info,
@@ -275,8 +283,8 @@ def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
     options_meta = []
     for pos in range(O):
         src = int(perm[pos])
-        path = (os.path.join(sample_dir, "proto_true_next.png") if src == 0
-                else os.path.join(sample_dir, f"option_{src}.png"))
+        path = fpath("proto_true_next.png" if src == 0
+                     else f"option_{src}.png")
         options_meta.append({
             "option_path": path,
             "is_correct": src == 0,
@@ -294,7 +302,7 @@ def build_sample_meta(sample_id: int, leaf: str, category_path: List[str],
             i = c["c"]
             if c.get("is_query"):
                 c.update({"proto_path": None, "state_path": None,
-                          "query_path": os.path.join(sample_dir, "query.png")})
+                          "query_path": fpath("query.png")})
             else:
                 c.update({"proto_path": None,
                           "state_path": sequence_meta[i]["state_path"],

@@ -318,6 +318,11 @@ class LeafPipeline:
                 out["grid_img_packed"] = pack(grids, gb)
             return out
 
+        # the unjitted body, exposed for AOT export and for callers that
+        # need to re-wrap it (e.g. the driver's single-chip entry) without
+        # reaching into jax.jit internals
+        self.batch_fn = batch_fn
+
         if mesh is not None:
             # data-parallel over the mesh: inputs and every output tensor
             # carry a leading batch axis sharded over 'data'; XLA partitions

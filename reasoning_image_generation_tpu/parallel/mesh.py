@@ -20,7 +20,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
-    devs = jax.devices()
+    """1-D mesh over this host's addressable chips.  Local devices only:
+    the generators feed host numpy batches and fetch coalesced blobs,
+    which requires fully-addressable arrays — a mesh spanning another
+    host's chips could neither be fed nor read from here."""
+    devs = jax.local_devices()
     n = n_devices or len(devs)
     return Mesh(np.asarray(devs[:n]), (axis,))
 
