@@ -45,11 +45,10 @@ def test_states_rerendered_by_reference_match(sample):
         assert s > 0.99, f"state {t}: ssim={s:.4f}"
 
 
-def test_full_grid_rerendered_by_reference_matches(sample):
+def _grid_vs_reference(m, out, ug):
+    """Re-render every frame with the reference renderer and compose with
+    the reference layout code; return SSIM vs our exported grid."""
     import cv2
-    metas, out = sample
-    m = metas[0]
-    ug = m["sequence"][1]["rule_info"]["use_grid"]
 
     p = str(REFERENCE_SRC)
     if p not in sys.path:
@@ -73,5 +72,65 @@ def test_full_grid_rerendered_by_reference_matches(sample):
 
     ours = cv2.imread(m["grid_path"])[..., ::-1]
     assert ours.shape == ref_grid.shape
-    s = ssim(ours, ref_grid)
+    return ssim(ours, ref_grid)
+
+
+def test_full_grid_rerendered_by_reference_matches(sample):
+    metas, out = sample
+    m = metas[0]
+    ug = m["sequence"][1]["rule_info"]["use_grid"]
+    s = _grid_vs_reference(m, out, ug)
+    assert s > 0.99, f"grid ssim={s:.4f}"
+
+
+@pytest.fixture(scope="module")
+def overlay_sample(tmp_path_factory):
+    """直接叠加: the L=6 layout (6-cell sequence row, reference
+    src/generator.py:262) with merged element sets — the overlay family's
+    full our-pixels-vs-reference-recompose check (VERDICT r2 item 5)."""
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+    out = str(tmp_path_factory.mktemp("e2e_overlay"))
+    weights = {k: 0.0 for k in ("平移", "旋转", "翻转(镜像)", "组合",
+                                "去同存异", "去异存同", "单一遍历", "位置遍历")}
+    weights["直接叠加"] = 1.0
+    cfg = GenConfig(out_dir=out, seed=5, batch_size=2,
+                    category_weights=weights)
+    gen = RPMGeneratorTPU(cfg)
+    metas = gen.generate(2)
+    gen.close()
+    return metas, out
+
+
+def _use_grid_for(seed, sample_id):
+    """Re-derive the generator's use_grid coin (RPMGeneratorTPU.
+    _sample_assignments: Random(seed+id), one choices() draw for the leaf,
+    then choice([False, True]))."""
+    import random as pyrandom
+    rng = pyrandom.Random(seed + sample_id)
+    rng.choices([0], k=1)
+    return rng.choice([False, True])
+
+
+def test_overlay_states_rerendered_by_reference_match(overlay_sample):
+    import cv2
+    metas, out = overlay_sample
+    m = metas[0]
+    assert len(m["sequence"]) == 6  # L=6 for the overlay family
+    ug = _use_grid_for(5, m["id"])
+    for t, seq in enumerate(m["sequence"]):
+        ours = cv2.imread(seq["state_path"])[..., ::-1]
+        ref = render_reference(seq["elements"], use_grid=bool(ug))
+        s = ssim(ours, ref)
+        assert s > 0.99, f"state {t}: ssim={s:.4f}"
+
+
+def test_overlay_full_grid_rerendered_by_reference_matches(overlay_sample):
+    metas, out = overlay_sample
+    # the merge frame (index 2, 5, ...) unions the two previous frames'
+    # element sets — make sure this sample actually exercised it
+    m = metas[0]
+    n2 = len([e for e in m["sequence"][2]["elements"] if e])
+    assert n2 >= len([e for e in m["sequence"][1]["elements"] if e])
+    s = _grid_vs_reference(m, out, _use_grid_for(5, m["id"]))
     assert s > 0.99, f"grid ssim={s:.4f}"

@@ -171,6 +171,19 @@ def test_mg_pallas_kernel_parity_interpret():
     assert np.abs(p.astype(int) - j.astype(int)).max() <= 1
 
 
+def test_mg_pallas_kernel_parity_interpret_multitile():
+    """Multi-tile pad+crop pin for the mg kernel (VERDICT r2 item 8):
+    dpi 34 -> 272x272, a 5x2 grid of (64,256) tiles padded to 320x512 and
+    cropped.  The dpi-25 case above is single-tile in W."""
+    from reasoning_image_generation_tpu.models.multigraph.renderer_pallas import (
+        render_scene_batch_pallas)
+    batch, _ = build_scene_batch([1], ["adjacent"])
+    p = np.asarray(render_scene_batch_pallas(batch, dpi=34, interpret=True))
+    j = np.asarray(render_scene_batch(batch, dpi=34))
+    assert p.shape == j.shape and p.shape[1:3] == (272, 272)
+    assert np.abs(p.astype(int) - j.astype(int)).max() <= 1
+
+
 def test_deform_edge():
     from reasoning_image_generation_tpu.models.multigraph.scene import (
         deform_edge, regular_poly, poly_area)

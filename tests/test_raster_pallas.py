@@ -68,6 +68,29 @@ def test_kernel_parity_interpret_cpu():
         assert (got == ref).all(), f"use_grid={ug}"
 
 
+def test_kernel_parity_interpret_multitile_crop():
+    """Interpret-mode pin for the tile-grid + pad/crop logic (VERDICT r2
+    item 8): 200x600 -> a 4x2 grid of (64,512) tiles, padded to 256x1024
+    and cropped, with content crossing tile boundaries and wrapping over
+    both true edges.  The single-tile case is
+    test_kernel_parity_interpret_cpu; the on-hardware equivalent is
+    test_kernel_bit_parity_untiled_size."""
+    from reasoning_image_generation_tpu.ops.raster import render_frame
+    from reasoning_image_generation_tpu.ops.raster_pallas import render_batch_pallas
+
+    els = [_elem("hexagon", 90, (580, 100), angle=30.0),  # wraps over x=600
+           _elem("heart", 70, (40, 190), color=(30, 160, 60)),  # wraps y=200
+           _elem("star", 80, (510, 60), color=(200, 30, 30)),   # tile seam
+           _elem("circle", 60, (300, 64))]                      # row seam
+    st = dicts_to_state(els, 8)
+    batch = jax.tree.map(lambda a: a[None], st)
+    got = np.asarray(render_batch_pallas(
+        batch, 600, 200, np.array([False]), interpret=True))[0]
+    ref = np.asarray(render_frame(st, 600, 200, use_grid=False))
+    assert got.shape == (200, 600, 3)
+    assert (got == ref).all()
+
+
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic kernel needs a TPU")
 def test_kernel_bit_parity_all_kinds():
     import jax.numpy as jnp
