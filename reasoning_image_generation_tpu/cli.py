@@ -80,16 +80,9 @@ def write_index(out_dir: str, metas):
         json.dump(metas, f, ensure_ascii=False, indent=2)
 
 
-def enable_compilation_cache():
-    """Persistent XLA compilation cache: the per-leaf pipeline programs
-    compile once per machine, not once per process."""
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/rig_tpu_xla"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+# persistent XLA compilation cache: the per-leaf pipeline programs compile
+# once per machine, not once per process (re-exported for bench.py compat)
+from .utils.cache import enable_compilation_cache
 
 
 def _merge_dedup(metas, dedup_threshold: int,

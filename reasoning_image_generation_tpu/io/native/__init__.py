@@ -46,6 +46,11 @@ def _load():
                 ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
             lib.fastpng_write_rle.restype = ctypes.c_int
+            lib.fastpng_write_rle_overlay.argtypes = [
+                ctypes.c_char_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            lib.fastpng_write_rle_overlay.restype = ctypes.c_int
             _lib = lib
     return _lib
 
@@ -62,15 +67,27 @@ def write_png(path: str, img: np.ndarray, level: int = 1) -> None:
 
 
 def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
-                  count: int, h: int, w: int, level: int = 1) -> None:
+                  count: int, h: int, w: int, level: int = 1,
+                  overlay=None) -> None:
     """Encode a PNG straight from the rle2 run stream
     (ops/rle.py::pack_frame_rle2) — no pixel tensor ever materializes on
-    the host.  lengths: u16 [>=count]; colors: u8 [>=count, 3]."""
+    the host.  lengths: u16 [>=count]; colors: u8 [>=count, 3].
+    `overlay=(rgb_u8 [h,w,3], a8 [h,w])` alpha-blends a static overlay
+    after decode with the exact device integer blend
+    (ops/compose.py::apply_overlay_u8)."""
     lengths = np.ascontiguousarray(lengths[:count], np.uint16)
     colors = np.ascontiguousarray(colors[:count], np.uint8)
-    rc = _load().fastpng_write_rle(
-        path.encode(), lengths.ctypes.data, colors.ctypes.data,
-        int(count), h, w, level)
+    if overlay is not None:
+        ov_rgb = np.ascontiguousarray(overlay[0], np.uint8)
+        ov_a = np.ascontiguousarray(overlay[1], np.uint8)
+        assert ov_rgb.shape == (h, w, 3) and ov_a.shape == (h, w)
+        rc = _load().fastpng_write_rle_overlay(
+            path.encode(), lengths.ctypes.data, colors.ctypes.data,
+            int(count), h, w, ov_rgb.ctypes.data, ov_a.ctypes.data, level)
+    else:
+        rc = _load().fastpng_write_rle(
+            path.encode(), lengths.ctypes.data, colors.ctypes.data,
+            int(count), h, w, level)
     if rc != 0:
         raise IOError(f"fastpng_write_rle failed with code {rc} for {path}")
 

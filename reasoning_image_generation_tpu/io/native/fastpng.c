@@ -189,6 +189,82 @@ int fastpng_write(const char *path, const unsigned char *rgb,
     return rc;
 }
 
+/* Decode the run stream into a packed RGB buffer (dst = h*w*3 bytes).
+ * Returns 0, or -6 when the lengths don't sum to h*w. */
+static int decode_runs_rgb(const unsigned short *lengths,
+                           const unsigned char *colors, int count,
+                           size_t n, unsigned char *dst) {
+    size_t pos = 0;
+    int i;
+    for (i = 0; i < count; ++i) {
+        size_t len = lengths[i];
+        const unsigned char *c = colors + 3 * i;
+        unsigned char *p = dst + pos * 3;
+        size_t j;
+        if (pos + len > n) return -6;
+        if (c[0] == c[1] && c[1] == c[2]) {
+            memset(p, c[0], len * 3);
+        } else {
+            for (j = 0; j < len; ++j) {
+                p[3 * j] = c[0]; p[3 * j + 1] = c[1]; p[3 * j + 2] = c[2];
+            }
+        }
+        pos += len;
+    }
+    return pos == n ? 0 : -6;
+}
+
+/* Integer alpha blend of a static overlay, EXACTLY matching the device
+ * compositor (ops/compose.py::apply_overlay_u8):
+ *   out = (content*(255-a) + overlay*a + 127) / 255
+ * so a frame produces identical pixels whether it travels as an RLE
+ * stream (blended here) or as a raw overflow fetch (blended on device). */
+static void blend_overlay(unsigned char *rgb, const unsigned char *ov_rgb,
+                          const unsigned char *ov_a, size_t n) {
+    size_t p;
+    for (p = 0; p < n; ++p) {
+        unsigned int a = ov_a[p];
+        unsigned int k;
+        if (!a) continue;
+        for (k = 0; k < 3; ++k) {
+            unsigned int c = rgb[3 * p + k];
+            unsigned int o = ov_rgb[3 * p + k];
+            rgb[3 * p + k] =
+                (unsigned char)((c * (255u - a) + o * a + 127u) / 255u);
+        }
+    }
+}
+
+/* RLE stream + static overlay -> truecolor PNG (the composed-grid export
+ * path: the transfer carries the pre-overlay canvas, ~37% fewer runs). */
+int fastpng_write_rle_overlay(const char *path,
+                              const unsigned short *lengths,
+                              const unsigned char *colors, int count,
+                              int height, int width,
+                              const unsigned char *ov_rgb,
+                              const unsigned char *ov_a, int level) {
+    const size_t n = (size_t)height * width;
+    const size_t stride = (size_t)width * 3;
+    const size_t raw_len = (size_t)height * (stride + 1);
+    unsigned char *rgb, *raw;
+    int rc;
+    if (count <= 0 || height <= 0 || width <= 0) return -6;
+    rgb = (unsigned char *)malloc(n * 3);
+    raw = (unsigned char *)malloc(raw_len);
+    if (!rgb || !raw) { free(rgb); free(raw); return -2; }
+    rc = decode_runs_rgb(lengths, colors, count, n, rgb);
+    if (rc == 0) {
+        blend_overlay(rgb, ov_rgb, ov_a, n);
+        rc = filter_rgb_rows(rgb, height, width, raw);
+        if (rc == 0)
+            rc = write_png_core(path, raw, raw_len, height, width, 2,
+                                NULL, 0, level);
+    }
+    free(rgb);
+    free(raw);
+    return rc;
+}
+
 /* 24-bit-color -> palette-index open-addressing table (runs are few:
  * count <= ~64k, distinct colors probed up to 256). */
 #define PAL_HASH_SIZE 1024  /* power of two, > 4*256 slots */
@@ -277,23 +353,10 @@ int fastpng_write_rle(const char *path, const unsigned short *lengths,
         const size_t raw_len = (size_t)height * (stride + 1);
         unsigned char *rgb = (unsigned char *)malloc(n * 3);
         unsigned char *raw = (unsigned char *)malloc(raw_len);
-        size_t pos = 0;
         if (!rgb || !raw) { free(rgb); free(raw); return -2; }
-        for (i = 0; i < count; ++i) {
-            size_t len = lengths[i];
-            const unsigned char *c = colors + 3 * i;
-            unsigned char *p = rgb + pos * 3;
-            size_t j;
-            if (c[0] == c[1] && c[1] == c[2]) {
-                memset(p, c[0], len * 3);
-            } else {
-                for (j = 0; j < len; ++j) {
-                    p[3 * j] = c[0]; p[3 * j + 1] = c[1]; p[3 * j + 2] = c[2];
-                }
-            }
-            pos += len;
-        }
-        rc = filter_rgb_rows(rgb, height, width, raw);
+        rc = decode_runs_rgb(lengths, colors, count, n, rgb);
+        if (rc == 0)
+            rc = filter_rgb_rows(rgb, height, width, raw);
         if (rc == 0)
             rc = write_png_core(path, raw, raw_len, height, width, 2,
                                 NULL, 0, level);

@@ -57,12 +57,14 @@ def encode_png_zlib(img: np.ndarray, level: int = 3) -> bytes:
 
 
 def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
-                  count: int, h: int, w: int) -> None:
+                  count: int, h: int, w: int, overlay=None) -> None:
     """Write a PNG from an rle2 run stream (u16 lengths + u8 RGB colors,
     ops/rle.py::pack_frame_rle2) without materializing pixels when the C
     encoder is available; decodes and falls through to write_png
-    otherwise.  Raises OverflowError for truncated streams so callers can
-    fetch the raw frame, same contract as unpack_frame_rle2."""
+    otherwise.  `overlay=(rgb_u8, a8)` blends a static overlay after
+    decode (exact integer blend, ops/compose.py::apply_overlay_u8).
+    Raises OverflowError for truncated streams so callers can fetch the
+    raw frame, same contract as unpack_frame_rle2."""
     from ..ops.rle import unpack_frame_rle2
     if count > lengths.shape[0]:
         raise OverflowError(f"rle2 frame overflow: {count} > "
@@ -70,11 +72,17 @@ def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
     fp = _try_fastpng()
     if fp is not None:
         try:
-            fp.write_png_rle(path, lengths, colors, int(count), h, w)
+            fp.write_png_rle(path, lengths, colors, int(count), h, w,
+                             overlay=overlay)
             return
         except IOError:
             pass  # e.g. length-sum mismatch — decode path re-validates
-    write_png(path, unpack_frame_rle2(lengths, colors, int(count), (h, w)))
+    img = unpack_frame_rle2(lengths, colors, int(count), (h, w))
+    if overlay is not None:
+        from ..ops.compose import apply_overlay_u8
+        img = apply_overlay_u8(img, np.asarray(overlay[0]),
+                               np.asarray(overlay[1]))
+    write_png(path, img)
 
 
 def write_png(path: str, img: np.ndarray) -> None:

@@ -36,15 +36,17 @@ class ExportPool:
             self._futures.append(self._pool.submit(write_png, path, img))
 
     def submit_png_rle(self, path: str, lengths, colors, count: int,
-                       h: int, w: int):
+                       h: int, w: int, overlay=None):
         """PNG from an rle2 run stream — the pixel-free export path.
         lengths/colors may be views into the transfer blob; the pending
         future keeps that blob alive until the write completes."""
         if self._pool is None:
-            write_png_rle(path, lengths, colors, count, h, w)
+            write_png_rle(path, lengths, colors, count, h, w,
+                          overlay=overlay)
         else:
             self._futures.append(self._pool.submit(
-                write_png_rle, path, lengths, colors, count, h, w))
+                write_png_rle, path, lengths, colors, count, h, w,
+                overlay=overlay))
 
     def submit_json(self, path: str, obj):
         def _write():

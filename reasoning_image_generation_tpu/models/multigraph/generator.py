@@ -79,12 +79,16 @@ class GeometryGeneratorTPU:
     def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
                  log_level: str = "INFO", io_workers: int = 8,
                  renderer: str = "auto"):
+        from ...utils.cache import enable_compilation_cache
+        enable_compilation_cache()
         self.bounds = bounds
         self.global_scale = float(global_scale)
         self._pool = ExportPool(workers=io_workers)
-        # largest run count observed — drives the adaptive shrink of the
-        # static transfer buffer (io/transfer.py::coalesce_shrunk)
-        self._run_stats: Dict[str, int] = {}
+        # largest run count observed per render size — drives the adaptive
+        # shrink of the static transfer buffer (coalesce_shrunk); persisted
+        # per-canvas so fresh processes start with converged tiers
+        from ...utils.cache import load_run_stats
+        self._run_stats: Dict[str, int] = load_run_stats("mg")
         # device->host bytes actually moved (bench.py reports bytes/img)
         self.transfer_bytes: int = 0
         self.generation_history: List[Dict] = []
@@ -140,7 +144,8 @@ class GeometryGeneratorTPU:
         budget = default_budget(H, W)
         packed = pack_batch_rle2(imgs, budget)
         leaves, treedef, specs = blob_specs(packed)
-        tier = transfer_tier(self._run_stats.get("mg"), budget)
+        skey = f"mg:{H}x{W}"
+        tier = transfer_tier(self._run_stats.get(skey), budget)
         sizes = (((-1, tier), (-2, tier), None) if tier is not None
                  else (None, None, None))
         if sizes[0] is not None:
@@ -151,7 +156,7 @@ class GeometryGeneratorTPU:
         self.transfer_bytes += blob.nbytes
         ln, co, cnt = split_blob(blob, treedef, specs)
         cnt = np.asarray(cnt)
-        self._run_stats["mg"] = max(self._run_stats.get("mg", 0),
+        self._run_stats[skey] = max(self._run_stats.get(skey, 0),
                                     int(cnt.max()))
         over = overflow_pixels((ln, co, cnt), imgs, cnt.shape[0])
         if over:
@@ -220,4 +225,6 @@ class GeometryGeneratorTPU:
         return records
 
     def close(self):
+        from ...utils.cache import save_run_stats
+        save_run_stats("mg", self._run_stats)
         self._pool.close()

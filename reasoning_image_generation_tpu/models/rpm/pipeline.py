@@ -279,7 +279,9 @@ class LeafPipeline:
                 imgs = jnp.swapaxes(imgs, 0, 1)             # [B, F, ...]
             state_imgs = imgs[:, :L]
             option_imgs = imgs[:, L:]
-            grids = jax.vmap(lambda s, o: compose_grid(layout, s[:L - 1], o))(
+            grids, grids_pre = jax.vmap(
+                lambda s, o: compose_grid(layout, s[:L - 1], o,
+                                          return_pre=True))(
                 state_imgs, option_imgs)
             out["grid_img"] = grids
             # grid pHash for corpus dedup — on device, no image round-trip
@@ -315,7 +317,13 @@ class LeafPipeline:
                 if "state_imgs" in out:
                     out["state_imgs_packed"] = pack(state_imgs, budget)
                     out["option_imgs_packed"] = pack(option_imgs, budget)
-                out["grid_img_packed"] = pack(grids, gb)
+                # rle2 ships the PRE-overlay canvas (~37% fewer runs); the
+                # host re-applies the static overlay with the exact same
+                # integer blend (ops/compose.py::apply_overlay_u8).  The
+                # full grid stays device-resident for pHash + the raw
+                # overflow fallback.
+                out["grid_img_packed"] = pack(
+                    grids_pre if codec == "rle2" else grids, gb)
             return out
 
         # the unjitted body, exposed for AOT export and for callers that
@@ -340,9 +348,17 @@ class LeafPipeline:
         return self._batch_fn(keys, use_grid)
 
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=0)
 def sample_keys(seed: int, sample_ids) -> jnp.ndarray:
     """Per-sample keys: fold_in(master, id) replicates the reference's
-    seed+index discipline (src/cli.py:20-21) in jax.random land."""
+    seed+index discipline (src/cli.py:20-21) in jax.random land.
+
+    Jitted (seed static — one value per run): the unjitted version
+    re-traced the vmap on every batch, ~250 ms of host time per dispatch
+    that serialized against the single-core export pool."""
     master = jax.random.key(seed)
     return jax.vmap(lambda i: jax.random.fold_in(master, i))(
         jnp.asarray(sample_ids))

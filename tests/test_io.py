@@ -113,6 +113,28 @@ def test_write_png_rle_matches_write_png(tmp_path):
     np.testing.assert_array_equal(cv2.imread(pa), cv2.imread(pb))
 
 
+def test_write_png_rle_overlay_matches_numpy_blend(tmp_path):
+    """The C overlay blend must be bit-identical to apply_overlay_u8 —
+    that identity is what lets the composed grid travel pre-overlay
+    (fewer runs) while raw overflow frames blend on device."""
+    from reasoning_image_generation_tpu.io.png import write_png_rle
+    from reasoning_image_generation_tpu.ops.compose import apply_overlay_u8
+    import cv2
+    rng = np.random.default_rng(3)
+    img = np.full((60, 80, 3), 255, np.uint8)
+    img[10:40, 5:60] = [10, 200, 50]
+    ov_rgb = rng.integers(0, 255, (60, 80, 3), np.uint8)
+    ov_a = np.zeros((60, 80), np.uint8)
+    ov_a[0:5] = 255                      # opaque band
+    ov_a[20:25] = rng.integers(1, 255, (5, 80), np.uint8)  # AA-style band
+    ln, co, n = _rle_encode(img)
+    p = str(tmp_path / "ov.png")
+    write_png_rle(p, ln, co, n, 60, 80, overlay=(ov_rgb, ov_a))
+    back = cv2.imread(p, cv2.IMREAD_COLOR)[..., ::-1]
+    expect = apply_overlay_u8(img, ov_rgb, ov_a)
+    np.testing.assert_array_equal(back, expect)
+
+
 def test_fastpng_speed_sanity(tmp_path):
     # not a benchmark, just ensures the native path handles a 512x512 quickly
     import time
