@@ -33,7 +33,9 @@ import time
 
 REFERENCE_BASELINE_SPS = 0.202
 
-N_TIMED = 128
+N_WARM = 128     # untimed: stats/tiers/allocator/compile warm
+N_TIMED = 512    # timed window: big enough that the per-leaf ragged tail
+                 # batch (padded to batch_size) doesn't distort bytes/rate
 N_BASELINE = 1024
 
 # All 9 leaves weighted like the production default (uniform): every
@@ -84,7 +86,8 @@ def _run_once():
         cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                         category_weights=dict(BENCH_WEIGHTS))
         gen = RPMGeneratorTPU(cfg)
-        ids = list(range(N_TIMED))
+        ids = list(range(N_WARM))
+        ids2 = list(range(N_WARM, N_WARM + N_TIMED))
         print("bench: warming up (compiles)...", file=sys.stderr, flush=True)
         gen.warmup(ids)
 
@@ -117,7 +120,6 @@ def _run_once():
         # + meta/coco JSON), rle2 transfer codec on: the device->host link
         # is the e2e bottleneck on this host.
         print("bench: e2e full-export run...", file=sys.stderr, flush=True)
-        ids2 = list(range(N_TIMED, 2 * N_TIMED))
         cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
                          category_weights=dict(BENCH_WEIGHTS),
                          sparse_transfer=True)

@@ -133,7 +133,8 @@ def rotate_poly(pts: np.ndarray, deg: float, about=None) -> np.ndarray:
 def poly_centroid(pts: np.ndarray) -> np.ndarray:
     """Area centroid of a simple polygon."""
     x, y = pts[:, 0], pts[:, 1]
-    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    xn = np.concatenate([x[1:], x[:1]])
+    yn = np.concatenate([y[1:], y[:1]])
     cross = x * yn - xn * y
     a = cross.sum() / 2.0
     if abs(a) < 1e-12:
@@ -149,10 +150,14 @@ def poly_area(pts: np.ndarray) -> float:
 
 
 def points_in_poly(p: np.ndarray, poly: np.ndarray) -> np.ndarray:
-    """Even-odd inside test. p [N,2], poly [V,2] -> bool [N]."""
+    """Even-odd inside test. p [N,2], poly [V,2] -> bool [N].
+    (Next-vertex arrays come from concatenate, not np.roll — this sits in
+    the adjacency sweep's innermost loop and np.roll's axis normalization
+    overhead dominated the whole mg scene build.)"""
     x, y = p[:, 0:1], p[:, 1:2]
     ax, ay = poly[:, 0][None], poly[:, 1][None]
-    bx, by = np.roll(poly[:, 0], -1)[None], np.roll(poly[:, 1], -1)[None]
+    nxt = np.concatenate([poly[1:], poly[:1]])
+    bx, by = nxt[:, 0][None], nxt[:, 1][None]
     cond = (ay > y) != (by > y)
     ey = by - ay
     ey = np.where(ey == 0, 1.0, ey)
@@ -185,6 +190,10 @@ def ray_poly_hit(origin, direction, poly: np.ndarray) -> Optional[np.ndarray]:
 def polys_overlap(a: np.ndarray, b: np.ndarray, n_grid: int = 24) -> bool:
     """Area-overlap test: any of b's interior grid points inside a, or
     vertex containment either way (replaces shapely .overlaps)."""
+    # bbox fast-reject: the adjacency sweeps probe hundreds of candidate
+    # translations per scene, most of them nowhere near the placed shapes
+    if ((a.max(0) <= b.min(0)) | (b.max(0) <= a.min(0))).any():
+        return False
     if points_in_poly(b, a).any() or points_in_poly(a, b).any():
         # vertex of one strictly inside the other == area overlap for convex
         # shapes; tolerate boundary touches with a small shrink
@@ -194,6 +203,66 @@ def polys_overlap(a: np.ndarray, b: np.ndarray, n_grid: int = 24) -> bool:
         return bool(points_in_poly(b_sh, a_sh).any() or
                     points_in_poly(a_sh, b_sh).any())
     return False
+
+
+def points_in_polys(p: np.ndarray, polys: np.ndarray) -> np.ndarray:
+    """Even-odd test of p [M,2] against a batch of polygons [K,V,2]
+    -> bool [K,M].  Batched form of points_in_poly for the adjacency
+    sweeps, which probe hundreds of candidate translations per scene."""
+    x, y = p[:, 0][None, :, None], p[:, 1][None, :, None]
+    a = polys[:, None, :, :]
+    nxt = np.concatenate([polys[:, 1:], polys[:, :1]], axis=1)[:, None, :, :]
+    cond = (a[..., 1] > y) != (nxt[..., 1] > y)
+    ey = nxt[..., 1] - a[..., 1]
+    ey = np.where(ey == 0, 1.0, ey)
+    xint = a[..., 0] + (y - a[..., 1]) * (nxt[..., 0] - a[..., 0]) / ey
+    return (np.sum(cond & (x < xint), axis=-1) % 2) == 1
+
+
+def _batch_centroids(polys: np.ndarray) -> np.ndarray:
+    """Shoelace centroids of a polygon batch [K,V,2] -> [K,2] (degenerate
+    polygons fall back to the vertex mean, like poly_centroid)."""
+    x, y = polys[..., 0], polys[..., 1]
+    xn = np.concatenate([x[:, 1:], x[:, :1]], axis=1)
+    yn = np.concatenate([y[:, 1:], y[:, :1]], axis=1)
+    cross = x * yn - xn * y
+    a = cross.sum(1) / 2.0
+    ok = np.abs(a) >= 1e-12
+    sa = np.where(ok, 6 * a, 1.0)
+    cx = ((x + xn) * cross).sum(1) / sa
+    cy = ((y + yn) * cross).sum(1) / sa
+    mean = polys.mean(1)
+    return np.where(ok[:, None], np.stack([cx, cy], -1), mean)
+
+
+def polys_overlap_batch(cands: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """polys_overlap(cands[k], q) for a candidate batch [K,V,2] -> bool [K],
+    same predicate (vertex containment either way, boundary touches
+    tolerated via the 0.999 shrink re-test)."""
+    K = cands.shape[0]
+    out = np.zeros(K, bool)
+    # bbox reject
+    clo, chi = cands.min(1), cands.max(1)
+    qlo, qhi = q.min(0), q.max(0)
+    near = ~(((chi <= qlo[None]) | (qhi[None] <= clo)).any(1))
+    if not near.any():
+        return out
+    idx = np.nonzero(near)[0]
+    sub = cands[idx]
+    hit = (points_in_polys(q, sub).any(1) |
+           points_in_poly(sub.reshape(-1, 2), q).reshape(len(idx), -1).any(1))
+    if hit.any():
+        h = idx[hit]
+        sh = cands[h]
+        c = _batch_centroids(sh)[:, None, :]
+        sh_shrunk = (c + (sh - c) * 0.999).astype(cands.dtype)
+        cq = poly_centroid(q)
+        q_shrunk = (cq + (q - cq) * 0.999)
+        real = (points_in_polys(q_shrunk, sh_shrunk).any(1) |
+                points_in_poly(sh_shrunk.reshape(-1, 2), q_shrunk).reshape(
+                    len(h), -1).any(1))
+        out[h] = real
+    return out
 
 
 def poly_min_distance(a: np.ndarray, b: np.ndarray) -> float:
@@ -530,30 +599,47 @@ def _poly_seg_distance(poly: np.ndarray, a, b) -> float:
 def _try_point_adjacency(cur, ref, placed, spacing=0.0, gap_tol=1e-8):
     """Vertex-of-cur projected onto each edge-of-ref; translate so the
     vertex sits `spacing` from that edge; first non-overlapping placement
-    wins (reference multi_combinator.py:908-955)."""
+    wins (reference multi_combinator.py:908-955).
+
+    Candidate pruning: the base shapes are convex, so for each ref edge
+    only ONE cur vertex can sit on it without cur crossing the edge's
+    line — the support vertex along the edge's outward normal.  That cuts
+    the V*E brute-force candidate set (the mg pipeline's measured host
+    bottleneck at ~67 ms/scene) to E analytic candidates; the overlap
+    check against every placed shape still guards each one."""
     a = np.asarray(ref, np.float64)
-    b = np.roll(a, -1, axis=0)
+    b = np.concatenate([a[1:], a[:1]])
     ab = b - a
     ab2 = np.maximum((ab ** 2).sum(1), 1e-12)
-    for p in np.asarray(cur, np.float64):
-        t = np.clip(((p - a) * ab).sum(1) / ab2, 0.0, 1.0)
-        proj = a + t[:, None] * ab
+    P = np.asarray(cur, np.float64)
+    E = len(a)
+    # outward edge normals (away from the ref centroid)
+    n = np.stack([ab[:, 1], -ab[:, 0]], -1)
+    n /= np.maximum(np.hypot(n[:, 0], n[:, 1]), 1e-12)[:, None]
+    mid = (a + b) / 2.0
+    flip = ((mid - poly_centroid(a)) * n).sum(1) < 0
+    n[flip] *= -1.0
+    # support vertex of cur along each outward normal: the innermost
+    # vertex, so every other vertex lands strictly outside the edge line
+    p_idx = np.argmin(P @ n.T, axis=0)                      # [E]
+    for e in range(E):
+        p = P[p_idx[e]]
+        t = float(np.clip(((p - a[e]) * ab[e]).sum() / ab2[e], 0.0, 1.0))
+        proj = a[e] + t * ab[e]
         vec = proj - p
-        dist = np.hypot(vec[:, 0], vec[:, 1])
-        for e in range(len(a)):
-            needed = dist[e] - spacing
-            if abs(needed) <= gap_tol:
-                if not any(polys_overlap(cur, q) for q in placed):
-                    return cur
-                continue
-            if dist[e] < 1e-12:
-                continue  # reference's degenerate edge-normal case
-            unit = vec[e] / dist[e]
-            cand = (cur + (unit * needed)).astype(np.float32)
-            if any(polys_overlap(cand, q) for q in placed):
-                continue
-            if abs(_poly_seg_distance(cand, a[e], b[e]) - spacing) <= 1e-4:
-                return cand
+        dist = float(np.hypot(vec[0], vec[1]))
+        needed = dist - spacing
+        if abs(needed) <= gap_tol:
+            if not any(polys_overlap(cur, q) for q in placed):
+                return cur
+            continue
+        if dist < 1e-12:
+            continue  # reference's degenerate edge-normal case
+        cand = (cur + (vec / dist * needed)).astype(np.float32)
+        if any(polys_overlap(cand, q) for q in placed):
+            continue
+        if abs(_poly_seg_distance(cand, a[e], b[e]) - spacing) <= 1e-4:
+            return cand
     return None
 
 
@@ -620,18 +706,26 @@ def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
 
         angles = list(np.linspace(0, 2 * np.pi, sample_n, endpoint=False))
         random.Random(0).shuffle(angles)
+        # whole-ring candidate batch per distance step (the per-angle loop
+        # paid a polys_overlap per candidate); first-success order is the
+        # shuffled angle order, as before
+        dirs = np.asarray([[math.cos(th), math.sin(th)] for th in angles])
         best = None
         scale_step = 1.0
         while scale_step <= 50 and best is None:
-            for th in angles:
-                d = initial * scale_step
-                cand = cur + np.asarray([math.cos(th) * d, math.sin(th) * d],
-                                        np.float32)
-                if any(polys_overlap(cand, p) for p in placed):
-                    continue
-                if poly_min_distance(cand, ref) <= size_based * 0.02:
-                    best = cand
-                    break
+            d = initial * scale_step
+            cands = (cur[None] +
+                     (dirs * d)[:, None, :].astype(np.float32)).astype(
+                         np.float32)
+            over = np.zeros(len(angles), bool)
+            for p in placed:
+                over |= polys_overlap_batch(cands, p)
+            dd = cands[:, :, None, :] - np.asarray(ref)[None, None, :, :]
+            dmin = np.sqrt((dd ** 2).sum(-1)).min((1, 2))
+            ok = ~over & (dmin <= size_based * 0.02)
+            hit = np.nonzero(ok)[0]
+            if hit.size:
+                best = cands[hit[0]]
             scale_step *= 1.4
         if best is None:  # force-push fallback (multi_combinator.py:1035-1047)
             ref_c = poly_centroid(ref)

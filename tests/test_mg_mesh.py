@@ -17,18 +17,29 @@ def test_mg_generator_builds_mesh_and_matches_unsharded(tmp_path):
     from reasoning_image_generation_tpu.models.multigraph.renderer import (
         render_scene_batch)
 
+    from reasoning_image_generation_tpu.ops.rle import unpack_frame_rle2
+
+    def decode(rendered):
+        ln, co, cnt, over, (H, W) = rendered
+        out = []
+        for i in range(len(cnt)):
+            out.append(over[i] if i in over else
+                       unpack_frame_rle2(ln[i], co[i], int(cnt[i]), (H, W)))
+        return np.stack(out)
+
     gen = GeometryGeneratorTPU(renderer="jnp")
     assert gen.mesh is not None and gen.mesh.size == len(jax.local_devices())
 
     seeds = list(range(8))
     modes = ["adjacent"] * 8
     batch, _ = build_scene_batch(seeds, modes, gen.global_scale)
-    sharded = gen._render(batch, TEST_DPI)
+    sharded = decode(gen._render(batch, TEST_DPI))
     plain = np.asarray(render_scene_batch(batch, dpi=TEST_DPI))
     np.testing.assert_array_equal(sharded, plain)
 
     # ragged batch (not divisible by mesh size) falls back to unsharded
     batch3, _ = build_scene_batch(seeds[:3], modes[:3], gen.global_scale)
-    out3 = gen._render(batch3, TEST_DPI)
+    out3 = decode(gen._render(batch3, TEST_DPI))
     assert out3.shape[0] == 3
+    np.testing.assert_array_equal(out3, plain[:3])
     gen.close()
