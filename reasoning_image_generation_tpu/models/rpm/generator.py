@@ -301,6 +301,15 @@ class RPMGeneratorTPU:
         cap = 4096
         while cap < len(sample_ids):
             cap *= 2
+        # single-device: corpus lives ON DEVICE and is advanced by one
+        # async dedup_append_step per batch (host fetches only the keep
+        # mask — see ops/phash.py); the mesh path keeps the replicated
+        # host buffer + sharded collective
+        self._dev_dedup = dedup and self.mesh is None
+        if self._dev_dedup:
+            import jax.numpy as jnp
+            self._corpus_dev = jnp.zeros((cap, 8), jnp.uint8)
+            self._count_dev = jnp.int32(0)
         self._corpus_buf = np.zeros((cap, 8), np.uint8)
         self._corpus_count = 0
 
@@ -363,6 +372,15 @@ class RPMGeneratorTPU:
             # even shards and device residency)
             raw = {k: out[k] for k in skip if k in out}
             raw["grid_phash_full"] = out["grid_phash"]
+            if getattr(self, "_dev_dedup", False):
+                from ...ops.phash import dedup_append_step
+                keep_dev, self._corpus_dev, self._count_dev = \
+                    dedup_append_step(self._corpus_dev, self._count_dev,
+                                      out["grid_phash"],
+                                      np.int32(n_real),
+                                      threshold=self._dedup_threshold)
+                getattr(keep_dev, "copy_to_host_async", lambda: None)()
+                raw["_keep_dev"] = keep_dev
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -560,8 +578,12 @@ class RPMGeneratorTPU:
         correct = np.asarray(out["correct_index"])
 
         if getattr(self, "_dedup", False):
-            keep = self._dedup_mask(
-                out.get("grid_phash_full", out["grid_phash"]), len(chunk))
+            if out.get("_keep_dev") is not None:
+                keep = np.asarray(out["_keep_dev"])[:len(chunk)]
+            else:
+                keep = self._dedup_mask(
+                    out.get("grid_phash_full", out["grid_phash"]),
+                    len(chunk))
         else:
             keep = np.ones(len(chunk), bool)
         # per-sample grid pHash (16 hex chars) rides along in the meta so a

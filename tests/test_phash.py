@@ -53,3 +53,42 @@ def test_sharded_dedup_matches_single_device():
     mesh = make_mesh(8)
     got = np.asarray(sharded_dedup_mask(mesh, h, threshold=4))
     np.testing.assert_array_equal(ref_mask, got)
+
+
+def test_dedup_append_step_matches_host_corpus():
+    """The device-resident corpus walk (one async step per batch,
+    ops/phash.dedup_append_step) must make the same keep decisions as the
+    host-buffer path (dedup_keep_mask_vs_corpus + host append), including
+    batch-padding exclusion."""
+    import jax.numpy as jnp
+    from reasoning_image_generation_tpu.ops.phash import (
+        dedup_append_step, dedup_keep_mask_vs_corpus)
+    rng = np.random.default_rng(0)
+    base = rng.integers(0, 256, (6, 8), np.uint8)
+    batches = []
+    for _ in range(4):
+        h = base[rng.integers(0, 6, 8)].copy()
+        flip = (rng.random((8, 8)) < 0.05).astype(np.uint8)
+        batches.append(h ^ flip)
+    n_valid = [8, 8, 5, 8]  # third batch carries 3 padding rows
+
+    corpus_dev = jnp.zeros((64, 8), jnp.uint8)
+    count_dev = jnp.int32(0)
+    host_buf = np.zeros((64, 8), np.uint8)
+    host_count = 0
+    for h, nv in zip(batches, n_valid):
+        keep_dev, corpus_dev, count_dev = dedup_append_step(
+            corpus_dev, count_dev, jnp.asarray(h), np.int32(nv),
+            threshold=4)
+        ref = np.asarray(dedup_keep_mask_vs_corpus(
+            jnp.asarray(host_buf), np.int32(host_count), jnp.asarray(h),
+            threshold=4))[:nv]
+        np.testing.assert_array_equal(np.asarray(keep_dev)[:nv], ref)
+        assert not np.asarray(keep_dev)[nv:].any()
+        for i in range(nv):
+            if ref[i]:
+                host_buf[host_count] = h[i]
+                host_count += 1
+    assert int(count_dev) == host_count
+    np.testing.assert_array_equal(
+        np.asarray(corpus_dev)[:host_count], host_buf[:host_count])
