@@ -96,10 +96,13 @@ def _run_once():
         # (10 dispatches per sync — a single sync costs ~36 ms on this
         # relay); the per-dispatch-blocking number is reported alongside
         # so methodology changes can't masquerade as perf deltas.
+        # Measured over N_TIMED ids so every leaf contributes at least one
+        # FULL batch (with only N_WARM ids the 9-leaf groups are all
+        # ragged and padding gets billed as dead time, ~2x understatement).
         print("bench: device-only run...", file=sys.stderr, flush=True)
-        res["device_sps"] = gen.measure_device_rate(ids, iters=10)
+        res["device_sps"] = gen.measure_device_rate(ids2, iters=10)
         res["device_sps_blocking"] = gen.measure_device_rate(
-            ids, iters=10, blocking=True)
+            ids2, iters=10, blocking=True)
 
         # quantify the link: raw device->host MB/s for one batch's images
         leaf, entries = next(iter(gen._sample_assignments(ids).items()))

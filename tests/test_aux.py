@@ -68,3 +68,20 @@ def test_generator_dedup_and_resume(tmp_path):
     for m in metas2:
         disk = json.load(open(os.path.join(m["sample_dir"], "meta.json")))
         assert disk["correct_index"] == m["correct_index"]
+
+
+def test_run_stats_persist_max_merge(tmp_path, monkeypatch):
+    """Transfer-tier statistics persist via atomic max-merge keyed files
+    (utils/cache.py) so fresh processes start with converged tiers."""
+    from reasoning_image_generation_tpu.utils import cache
+    monkeypatch.setattr(cache, "cache_dir", lambda: str(tmp_path))
+    assert cache.load_run_stats("t") == {}
+    cache.save_run_stats("t", {"a": 10, "b": 5})
+    cache.save_run_stats("t", {"a": 7, "c": 3})   # a must keep its max
+    assert cache.load_run_stats("t") == {"a": 10, "b": 5, "c": 3}
+    # corrupt file reads as empty, save still works after
+    with open(tmp_path / "runstats_t.json", "w") as f:
+        f.write("{broken")
+    assert cache.load_run_stats("t") == {}
+    cache.save_run_stats("t", {"d": 1})
+    assert cache.load_run_stats("t") == {"d": 1}
