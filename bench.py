@@ -212,17 +212,15 @@ def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
     out_dir = tempfile.mkdtemp(prefix="rig_bench_mg_")
 
     def run_batches(tag, lo):
-        n = 0
-        for bi in range(n_batches):
-            s = [lo + bi * B + i for i in range(B)]
-            gen.generate_batch(
-                s, modes,
-                [os.path.join(out_dir, f"{tag}{i}_adjacent.png") for i in s],
-                [os.path.join(out_dir, f"{tag}{i}_adjacent.json") for i in s],
-                dpi=dpi)
-            n += B
+        # pipelined driver (generate_batches): what the CLI runs
+        s = [lo + i for i in range(n_batches * B)]
+        gen.generate_batches(
+            s, modes * n_batches,
+            [os.path.join(out_dir, f"{tag}{i}_adjacent.png") for i in s],
+            [os.path.join(out_dir, f"{tag}{i}_adjacent.json") for i in s],
+            dpi=dpi, batch_size=B)
         gen._pool.drain()
-        return n
+        return len(s)
 
     try:
         # untimed warmup pass: first pack/coalesce compiles + transfer-tier

@@ -28,15 +28,17 @@ def generate_all(num_samples: int = 100, out_dir: str = "output",
     modes = [random.choice(list(mode_choices)) for _ in range(num_samples)]
     gen = GeometryGeneratorTPU(global_scale=global_scale)
     t0 = time.time()
-    for start in range(0, num_samples, batch_size):
-        idx = list(range(start, min(start + batch_size, num_samples)))
-        gen.generate_batch(
-            seeds=[seed0 + i for i in idx],
-            modes=[modes[i] for i in idx],
-            save_paths=[f"{out_dir}/images/{i}_{modes[i]}.png" for i in idx],
-            params_save_paths=[f"{out_dir}/params/{i}_{modes[i]}.json" for i in idx],
-            dpi=dpi)
-        print(f"生成完成：{min(start + batch_size, num_samples)}/{num_samples}")
+    # software-pipelined driver: batch k+1 renders on device while batch
+    # k's QC/export runs on host (generator.generate_batches)
+    gen.generate_batches(
+        seeds=[seed0 + i for i in range(num_samples)],
+        modes=modes,
+        save_paths=[f"{out_dir}/images/{i}_{modes[i]}.png"
+                    for i in range(num_samples)],
+        params_save_paths=[f"{out_dir}/params/{i}_{modes[i]}.json"
+                           for i in range(num_samples)],
+        dpi=dpi, batch_size=batch_size,
+        progress=lambda done: print(f"生成完成：{done}/{num_samples}"))
     gen.close()
     dt = time.time() - t0
     print(f"所有生成任务完成 ({num_samples} samples in {dt:.2f}s, "

@@ -111,7 +111,12 @@ class GeometryGeneratorTPU:
         n = len(jax.local_devices())
         return make_mesh(n) if n > 1 else None
 
-    def _render(self, batch, dpi: int):
+    def _render_dispatch(self, batch, dpi: int) -> Dict:
+        """Dispatch render + RLE pack + blob coalesce on device and start
+        the device->host copy; returns a pending-state dict for
+        `_render_finish`.  Nothing here blocks on device completion, so a
+        caller can overlap the next batch's host work (scene build, QC,
+        export) with this batch's device render + transfer."""
         if self.renderer == "pallas":
             from .renderer_pallas import render_scene_batch_pallas as rfn
         else:
@@ -137,8 +142,7 @@ class GeometryGeneratorTPU:
         # to the largest count previously observed (power-of-2 tiers), and
         # frames that still overflow fall back to one gathered raw fetch.
         from ...io.transfer import (coalesce, coalesce_shrunk, blob_specs,
-                                    shrunk_specs, split_blob,
-                                    overflow_pixels, transfer_tier)
+                                    shrunk_specs, transfer_tier)
         from ...ops.rle import pack_batch_rle2, default_budget
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
         budget = default_budget(H, W)
@@ -149,19 +153,29 @@ class GeometryGeneratorTPU:
         sizes = (((-1, tier), (-2, tier), None) if tier is not None
                  else (None, None, None))
         if sizes[0] is not None:
-            blob = np.asarray(coalesce_shrunk(leaves, sizes))
+            blob = coalesce_shrunk(leaves, sizes)
             specs = shrunk_specs(leaves, sizes)
         else:
-            blob = np.asarray(coalesce(leaves))
+            blob = coalesce(leaves)
+        getattr(blob, "copy_to_host_async", lambda: None)()
+        return {"blob": blob, "treedef": treedef, "specs": specs,
+                "skey": skey, "imgs": imgs, "hw": (H, W)}
+
+    def _render_finish(self, st: Dict):
+        """Block on the pending transfer from `_render_dispatch` and
+        reconstruct the host-side run stream (+ raw overflow frames)."""
+        from ...io.transfer import split_blob, overflow_pixels
+        blob = np.asarray(st["blob"])
         self.transfer_bytes += blob.nbytes
-        ln, co, cnt = split_blob(blob, treedef, specs)
+        ln, co, cnt = split_blob(blob, st["treedef"], st["specs"])
         cnt = np.asarray(cnt)
+        skey = st["skey"]
         self._run_stats[skey] = max(self._run_stats.get(skey, 0),
                                     int(cnt.max()))
-        over = overflow_pixels((ln, co, cnt), imgs, cnt.shape[0])
+        over = overflow_pixels((ln, co, cnt), st["imgs"], cnt.shape[0])
         if over:
             self.transfer_bytes += sum(a.nbytes for a in over.values())
-        return ln, co, cnt, over, (H, W)
+        return ln, co, cnt, over, st["hw"]
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -173,12 +187,58 @@ class GeometryGeneratorTPU:
 
     def generate_batch(self, seeds, modes, save_paths=None,
                        params_save_paths=None, dpi: int = 200) -> List[Dict]:
+        return self._finish_batch(self._dispatch_batch(
+            seeds, modes, save_paths, params_save_paths, dpi))
+
+    def generate_batches(self, seeds, modes, save_paths=None,
+                         params_save_paths=None, dpi: int = 200,
+                         batch_size: int = 16, progress=None) -> List[Dict]:
+        """Software-pipelined multi-batch driver.
+
+        Batch k+1's host scene build and device render/pack run while
+        batch k's transfer completes and its host tail (QC, geos
+        features, PNG/JSON export submission) executes — the same
+        one-deep pipeline the RPM generator uses.  `progress(done)` is
+        called after each finished batch."""
         n = len(seeds)
         save_paths = save_paths or [None] * n
         params_save_paths = params_save_paths or [None] * n
+        records: List[Dict] = []
+        pending = None
+        for lo in range(0, n, batch_size):
+            hi = min(lo + batch_size, n)
+            st = self._dispatch_batch(
+                seeds[lo:hi], modes[lo:hi], save_paths[lo:hi],
+                params_save_paths[lo:hi], dpi)
+            if pending is not None:
+                records.extend(self._finish_batch(pending))
+                if progress:
+                    progress(len(records))
+            pending = st
+        if pending is not None:
+            records.extend(self._finish_batch(pending))
+            if progress:
+                progress(len(records))
+        return records
 
+    def _dispatch_batch(self, seeds, modes, save_paths, params_save_paths,
+                        dpi: int) -> Dict:
+        n = len(seeds)
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
-        ln, co, cnt, over, (H, W) = self._render(batch, dpi)
+        st = self._render_dispatch(batch, dpi)
+        st.update(seeds=seeds, modes=modes, dpi=dpi,
+                  save_paths=save_paths or [None] * n,
+                  params_save_paths=params_save_paths or [None] * n,
+                  batch=batch, metas=metas)
+        return st
+
+    def _finish_batch(self, st: Dict) -> List[Dict]:
+        seeds, modes = st["seeds"], st["modes"]
+        save_paths, params_save_paths = (st["save_paths"],
+                                         st["params_save_paths"])
+        batch, metas, dpi = st["batch"], st["metas"], st["dpi"]
+        n = len(seeds)
+        ln, co, cnt, over, (H, W) = self._render_finish(st)
 
         from .check import check_scene_inside, compute_scene_features
         records = []

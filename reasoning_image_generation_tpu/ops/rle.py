@@ -159,6 +159,94 @@ def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
             count.reshape(lead))
 
 
+# ---- v2p: palette-indexed runs at 3 bytes/run (u16 length + u8 index) ----
+#
+# Run colors are heavily repeated: a 512^2 state frame has p50 ~120-138
+# DISTINCT colors among thousands of runs (element fills + the AA blend
+# ramp against the background), so an on-device per-frame palette turns
+# the 3-byte RGB per run into a 1-byte index: 5 -> 3 bytes/run plus a
+# fixed 776-byte palette block per frame (~40% fewer link bytes on
+# full-export streams).  Frames with >256 distinct run colors (rare;
+# composed grids can exceed it, which is why grids stay on rle2) fall
+# back to the same raw-frame fetch as run-budget overflow.
+
+MAX_PAL = 256
+_PAL_SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def palettize_runs(colors: jnp.ndarray, count: jnp.ndarray):
+    """(colors u8 [cap, 3], count) -> (palette u8 [256, 3], idx u8 [cap],
+    n_colors i32).
+
+    Sort-compact over the RUN colors (<= cap values, not H*W pixels):
+    dead slots sort to a sentinel past every 24-bit color, unique values
+    scatter-compact into the palette exactly like run boundaries do in
+    pack_frame_rle, and searchsorted maps each run to its index.  When
+    n_colors > 256 the idx column is meaningless — callers must treat the
+    frame as overflowed."""
+    cap = colors.shape[0]
+    col32 = (colors[:, 0].astype(jnp.uint32) << 16
+             | colors[:, 1].astype(jnp.uint32) << 8
+             | colors[:, 2].astype(jnp.uint32))
+    live = jnp.arange(cap, dtype=jnp.int32) < count
+    masked = jnp.where(live, col32, _PAL_SENTINEL)
+    s = jnp.sort(masked)
+    uniq = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
+    uniq = uniq & (s != _PAL_SENTINEL)
+    pos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
+    n_colors = jnp.where(jnp.any(uniq), pos[-1] + 1, 0)
+    tgt = jnp.where(uniq & (pos < MAX_PAL), pos, MAX_PAL)
+    pal32 = jnp.full((MAX_PAL,), _PAL_SENTINEL,
+                     jnp.uint32).at[tgt].set(s, mode="drop")
+    idx = jnp.searchsorted(pal32, col32).astype(jnp.uint8)
+    palette = jnp.stack([(pal32 >> 16) & 0xFF, (pal32 >> 8) & 0xFF,
+                         pal32 & 0xFF], axis=-1).astype(jnp.uint8)
+    return palette, idx, n_colors
+
+
+def pack_frame_rle2p(img: jnp.ndarray, max_runs: int):
+    """u8 [H, W, 3] -> (lengths u16 [max_runs], idx u8 [max_runs],
+    palette u8 [256, 3], n_colors i32, count i32)."""
+    lengths, rgb, count = pack_frame_rle2(img, max_runs)
+    palette, idx, n_colors = palettize_runs(rgb, count)
+    return lengths, idx, palette, n_colors, count
+
+
+@partial(jax.jit, static_argnames=("max_runs",))
+def pack_batch_rle2p(imgs: jnp.ndarray, max_runs: int):
+    """u8 [..., H, W, 3] with any leading dims."""
+    lead = imgs.shape[:-3]
+    flat = imgs.reshape((-1,) + imgs.shape[-3:])
+    ln, idx, pal, nc, cnt = jax.vmap(
+        lambda x: pack_frame_rle2p(x, max_runs))(flat)
+    return (ln.reshape(lead + ln.shape[1:]),
+            idx.reshape(lead + idx.shape[1:]),
+            pal.reshape(lead + pal.shape[1:]),
+            nc.reshape(lead), cnt.reshape(lead))
+
+
+def rle2p_to_rle2(lengths: np.ndarray, idx: np.ndarray, palette: np.ndarray,
+                  n_colors: int, count: int):
+    """Host-side: one frame's palette stream -> the rle2 (lengths, rgb)
+    form the C PNG encoder consumes.  OverflowError on palette overflow
+    (caller fetches the raw frame, same contract as run-budget
+    overflow)."""
+    if n_colors > MAX_PAL:
+        raise OverflowError(f"rle2p palette overflow: {n_colors} colors")
+    if count > lengths.shape[0]:
+        raise OverflowError(
+            f"rle2p frame overflow: {count} > {lengths.shape[0]}")
+    rgb = np.asarray(palette, np.uint8)[np.asarray(idx[:count], np.int64)]
+    return np.asarray(lengths[:count], np.uint16), rgb
+
+
+def unpack_frame_rle2p(lengths, idx, palette, n_colors: int, count: int,
+                       shape) -> np.ndarray:
+    """Host-side exact reconstruction of the palette stream."""
+    ln, rgb = rle2p_to_rle2(lengths, idx, palette, n_colors, count)
+    return unpack_frame_rle2(ln, rgb, count, shape)
+
+
 def unpack_frame_rle2(lengths: np.ndarray, colors: np.ndarray, count: int,
                       shape) -> np.ndarray:
     """Host-side exact reconstruction of the v2 stream.  OverflowError when

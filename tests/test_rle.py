@@ -147,3 +147,81 @@ def test_generator_end_to_end_with_rle(tmp_path):
         ga = cv2.imread(ma["grid_path"])
         gb = cv2.imread(mb["grid_path"])
         np.testing.assert_array_equal(ga, gb)
+
+
+# ---- rle2p (palette-indexed runs) ----
+
+def test_rle2p_roundtrip_exact():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_frame_rle2p, unpack_frame_rle2p)
+    img = _img(3)
+    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
+    back = unpack_frame_rle2p(np.asarray(ln), np.asarray(idx),
+                              np.asarray(pal), int(nc), int(cnt), (64, 64))
+    np.testing.assert_array_equal(back, img)
+
+
+def test_rle2p_matches_rle2_runs():
+    """Palette lookup reproduces the rle2 color stream bit-for-bit (the C
+    PNG encoder is fed the converted stream, so this IS PNG parity)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_frame_rle2, pack_frame_rle2p, rle2p_to_rle2)
+    img = _img(4, n_rects=10)
+    ln2, rgb2, cnt2 = pack_frame_rle2(jnp.asarray(img), 2048)
+    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
+    assert int(cnt) == int(cnt2)
+    ln_c, rgb_c = rle2p_to_rle2(np.asarray(ln), np.asarray(idx),
+                                np.asarray(pal), int(nc), int(cnt))
+    np.testing.assert_array_equal(ln_c, np.asarray(ln2)[: int(cnt2)])
+    np.testing.assert_array_equal(rgb_c, np.asarray(rgb2)[: int(cnt2)])
+
+
+def test_rle2p_palette_sorted_unique():
+    from reasoning_image_generation_tpu.ops.rle import pack_frame_rle2p
+    img = _img(5)
+    _ln, _idx, pal, nc, _cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
+    pal = np.asarray(pal)[: int(nc)].astype(np.uint32)
+    p32 = (pal[:, 0] << 16) | (pal[:, 1] << 8) | pal[:, 2]
+    assert np.all(np.diff(p32.astype(np.int64)) > 0)  # strictly ascending
+    # every color the image actually uses appears
+    img_cols = np.unique(
+        (img[..., 0].astype(np.uint32) << 16)
+        | (img[..., 1].astype(np.uint32) << 8) | img[..., 2])
+    assert set(img_cols.tolist()) == set(p32.tolist())
+
+
+def test_rle2p_color_overflow_detected():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_frame_rle2p, unpack_frame_rle2p)
+    rng = np.random.default_rng(7)
+    # >256 distinct colors across runs
+    img = np.repeat(rng.integers(0, 255, (20, 20, 3), np.uint8),
+                    3, axis=1)  # 20x60, ~400 runs distinct colors
+    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
+    assert int(nc) > 256
+    try:
+        unpack_frame_rle2p(np.asarray(ln), np.asarray(idx), np.asarray(pal),
+                           int(nc), int(cnt), (20, 60))
+        raise AssertionError("expected OverflowError")
+    except OverflowError:
+        pass
+
+
+def test_rle2p_batch_matches_frame():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_frame_rle2p, pack_batch_rle2p)
+    imgs = np.stack([_img(i) for i in range(4)]).reshape(2, 2, 64, 64, 3)
+    ln, idx, pal, nc, cnt = pack_batch_rle2p(jnp.asarray(imgs), 1024)
+    assert ln.shape == (2, 2, 1024) and idx.shape == (2, 2, 1024)
+    assert pal.shape == (2, 2, 256, 3) and nc.shape == (2, 2)
+    for i in range(2):
+        for j in range(2):
+            l1, x1, p1, n1, c1 = pack_frame_rle2p(
+                jnp.asarray(imgs[i, j]), 1024)
+            np.testing.assert_array_equal(np.asarray(ln[i, j]),
+                                          np.asarray(l1))
+            np.testing.assert_array_equal(np.asarray(idx[i, j]),
+                                          np.asarray(x1))
+            np.testing.assert_array_equal(np.asarray(pal[i, j]),
+                                          np.asarray(p1))
+            assert int(nc[i, j]) == int(n1) and int(cnt[i, j]) == int(c1)
