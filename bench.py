@@ -45,14 +45,16 @@ BENCH_WEIGHTS = {"平移": 1.0, "旋转": 1.0, "翻转(镜像)": 1.0, "组合": 
                  "直接叠加": 1.0, "去同存异": 1.0, "去异存同": 1.0,
                  "单一遍历": 1.0, "位置遍历": 1.0}
 
-# Reference multigraph pipeline baseline.  NOT measurable on this host:
-# the reference hard-imports shapely (multigraph_generation/generator.py:26)
-# which is not installed here.  0.5 imgs/s is a structural estimate —
-# matplotlib figure + savefig at dpi 200 (1600^2) costs ~1-2 s/img alone,
-# plus the shapely adjacency search (180-angle x distance-ladder sweeps,
-# multigraph_generation/multi_combinator.py:1001-1032).  The JSON field is
-# suffixed _estimated accordingly.
-REFERENCE_MG_BASELINE_IPS = 0.5  # estimate; reference unrunnable (no shapely)
+# Reference multigraph pipeline baseline, MEASURED on this host
+# (tools/measure_mg_baseline.py, 2026-08-17) with a numpy shapely shim
+# (shapely isn't installed; tools/shapely_shim implements the API subset
+# the reference uses) and the math.lg10->log10 typo patched: seeds 0-14
+# run at ~1.2 imgs/s (p50 0.13 s/task), but the adjacent-placement
+# search is heavy-tailed — seed 15 alone took 333 s (the reference's
+# unbounded 180-angle x distance-ladder sweep), dragging the 16-sample
+# mean to 0.046 imgs/s.  We use the typical-rate 1.2 as the denominator
+# (the favorable-to-the-reference choice).
+REFERENCE_MG_BASELINE_IPS = 1.2  # measured typical rate (see above)
 
 
 def _timed_export(gen, warm_ids, timed_ids, **kw):
@@ -284,7 +286,7 @@ def main():
         "mg_imgs_per_sec_device": round(mg_device_ips, 3),
         "mg_e2e_imgs_per_sec": round(mg_e2e_ips, 3),
         "mg_bytes_per_img": round(mg_bpi),
-        "mg_vs_baseline_estimated": round(
+        "mg_vs_baseline": round(
             mg_device_ips / REFERENCE_MG_BASELINE_IPS, 2),
     }))
 

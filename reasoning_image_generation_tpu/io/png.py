@@ -56,25 +56,28 @@ def encode_png_zlib(img: np.ndarray, level: int = 3) -> bytes:
             chunk(b"IDAT", comp) + chunk(b"IEND", b""))
 
 
+def write_png_rle3(path: str, frames, i: int, h: int, w: int,
+                   overlay=None) -> None:
+    """Write one frame of a compacted rle3 transfer (ops/rle.py::
+    Rle3Frames) as PNG.  The palette/escape reconstruction to the rle2
+    run stream happens HERE — in the export worker thread, off the batch
+    critical path; the C encoder then consumes the stream without
+    materializing pixels.  Raises OverflowError for truncated frames
+    (callers pre-screen with overflow_indices and fetch those raw)."""
+    ln, rgb = frames.frame(i)
+    write_png_rle(path, ln, rgb, int(ln.shape[0]), h, w, overlay=overlay)
+
+
 def write_png_rle(path: str, lengths: np.ndarray, colors: np.ndarray,
-                  count: int, h: int, w: int, overlay=None,
-                  palette=None, n_colors: int = 0) -> None:
+                  count: int, h: int, w: int, overlay=None) -> None:
     """Write a PNG from an rle2 run stream (u16 lengths + u8 RGB colors,
     ops/rle.py::pack_frame_rle2) without materializing pixels when the C
     encoder is available; decodes and falls through to write_png
     otherwise.  `overlay=(rgb_u8, a8)` blends a static overlay after
     decode (exact integer blend, ops/compose.py::apply_overlay_u8).
-    With `palette` (u8 [256, 3]), `colors` is the rle2p u8 index column
-    (ops/rle.py::pack_frame_rle2p); the palette lookup happens here — in
-    the export worker thread, off the batch critical path — and the
-    resulting stream is byte-identical to the rle2 one.
     Raises OverflowError for truncated streams so callers can fetch the
     raw frame, same contract as unpack_frame_rle2."""
     from ..ops.rle import unpack_frame_rle2
-    if palette is not None:
-        from ..ops.rle import rle2p_to_rle2
-        lengths, colors = rle2p_to_rle2(lengths, colors, palette,
-                                        int(n_colors), int(count))
     if count > lengths.shape[0]:
         raise OverflowError(f"rle2 frame overflow: {count} > "
                             f"{lengths.shape[0]}")

@@ -80,6 +80,67 @@ def shrunk_specs(leaves, sizes):
     return specs
 
 
+@jax.jit
+def coalesce_flat(leaves):
+    """`coalesce` without the per-sample row structure: ONE 1-D u8 blob.
+
+    The rle3 codec's batch-compacted streams (ops/rle.py::compact_rle3)
+    have no leading batch axis, so the [B, bytes] layout can't hold them;
+    the flat blob concatenates every leaf's raw bytes instead.  Used on
+    the single-transfer fetch path only (the compaction already gathered
+    any mesh shards)."""
+    parts = []
+    for a in leaves:
+        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
+        if b.dtype != jnp.uint8:
+            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
+        parts.append(b.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+@partial(jax.jit, static_argnames=("sizes",))
+def coalesce_flat_shrunk(leaves, sizes):
+    """`coalesce_flat` with per-leaf axis truncation fused in (same
+    `sizes` contract as coalesce_shrunk)."""
+    parts = []
+    for a, s in zip(leaves, sizes):
+        if s is not None:
+            axis, ns = s
+            a = jax.lax.slice_in_dim(a, 0, min(ns, a.shape[axis % a.ndim]),
+                                     axis=axis % a.ndim)
+        b = a.astype(jnp.uint8) if a.dtype == jnp.bool_ else a
+        if b.dtype != jnp.uint8:
+            b = jax.lax.bitcast_convert_type(b, jnp.uint8)
+        parts.append(b.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def split_flat(blob_np: np.ndarray, treedef, specs):
+    """Invert `coalesce_flat`: one host u8 [bytes] array -> the tree.
+    Leaves come back as zero-copy views into the blob."""
+    out, off = [], 0
+    for shape, dtype in specs:
+        store = np.dtype(np.uint8) if dtype == np.bool_ else np.dtype(dtype)
+        nb = int(np.prod(shape, dtype=np.int64)) * store.itemsize
+        arr = blob_np[off:off + nb].view(store).reshape(shape)
+        if dtype == np.bool_:
+            arr = arr.astype(bool)
+        out.append(arr)
+        off += nb
+    return jax.tree.unflatten(treedef, out)
+
+
+def gather_frames(raw_dev, indices: np.ndarray) -> dict:
+    """Fetch the listed flat frame indices of a device image tensor in ONE
+    gathered transfer -> {flat_index: u8 [h, w, 3]}."""
+    if len(indices) == 0:
+        return {}
+    flat_raw = raw_dev.reshape((-1,) + raw_dev.shape[-3:])
+    sel = np.asarray(jnp.take(flat_raw, jnp.asarray(np.asarray(indices)),
+                              axis=0))
+    return {int(i): sel[j] for j, i in enumerate(indices)}
+
+
 def blob_specs(tree):
     """(leaves, treedef, per-leaf (shape, dtype)) for host reconstruction."""
     leaves, treedef = jax.tree.flatten(tree)

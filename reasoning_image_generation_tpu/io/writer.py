@@ -14,7 +14,7 @@ from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-from .png import write_png, write_png_rle
+from .png import write_png, write_png_rle, write_png_rle3
 
 
 def ensure_dir(p: str) -> None:
@@ -47,6 +47,17 @@ class ExportPool:
             self._futures.append(self._pool.submit(
                 write_png_rle, path, lengths, colors, count, h, w,
                 overlay=overlay))
+
+    def submit_png_rle3(self, path: str, frames, i: int, h: int, w: int,
+                        overlay=None):
+        """PNG from one frame of a compacted rle3 transfer; the palette
+        lookup runs in the worker thread.  `frames` holds views into the
+        transfer blob; the pending future keeps it alive."""
+        if self._pool is None:
+            write_png_rle3(path, frames, i, h, w, overlay=overlay)
+        else:
+            self._futures.append(self._pool.submit(
+                write_png_rle3, path, frames, i, h, w, overlay))
 
     def submit_json(self, path: str, obj):
         def _write():

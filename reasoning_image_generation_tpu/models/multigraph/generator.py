@@ -141,41 +141,58 @@ class GeometryGeneratorTPU:
         # RLE to ~1-3% of raw.  The static run buffer additionally shrinks
         # to the largest count previously observed (power-of-2 tiers), and
         # frames that still overflow fall back to one gathered raw fetch.
-        from ...io.transfer import (coalesce, coalesce_shrunk, blob_specs,
-                                    shrunk_specs, transfer_tier)
-        from ...ops.rle import pack_batch_rle2, default_budget
+        from ...io.transfer import (coalesce_flat, coalesce_flat_shrunk,
+                                    blob_specs, shrunk_specs, transfer_tier)
+        from ...ops.rle import pack_batch_rle3, default_budget
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
         budget = default_budget(H, W)
-        packed = pack_batch_rle2(imgs, budget)
+        packed = pack_batch_rle3(imgs, budget)
         leaves, treedef, specs = blob_specs(packed)
         skey = f"mg:{H}x{W}"
-        tier = transfer_tier(self._run_stats.get(skey), budget)
-        sizes = (((-1, tier), (-2, tier), None) if tier is not None
-                 else (None, None, None))
-        if sizes[0] is not None:
-            blob = coalesce_shrunk(leaves, sizes)
+        F = int(packed[4].shape[0])
+
+        def tier_for(suffix, cap):
+            st = self._run_stats.get(f"{skey}:{suffix}")
+            return transfer_tier(None if st is None else st * F, cap)
+
+        tT = tier_for("T", int(leaves[0].shape[0]))
+        tP = tier_for("P", int(leaves[2].shape[0]))
+        tE = tier_for("E", int(leaves[3].shape[0]))
+        sizes = (None if tT is None else (0, tT),
+                 None if tT is None else (0, tT),
+                 None if tP is None else (0, tP),
+                 None if tE is None else (0, tE),
+                 None, None, None)
+        if any(s is not None for s in sizes):
+            blob = coalesce_flat_shrunk(leaves, sizes)
             specs = shrunk_specs(leaves, sizes)
         else:
-            blob = coalesce(leaves)
+            blob = coalesce_flat(leaves)
         getattr(blob, "copy_to_host_async", lambda: None)()
         return {"blob": blob, "treedef": treedef, "specs": specs,
-                "skey": skey, "imgs": imgs, "hw": (H, W)}
+                "skey": skey, "imgs": imgs, "hw": (H, W),
+                "budget": budget}
 
     def _render_finish(self, st: Dict):
         """Block on the pending transfer from `_render_dispatch` and
-        reconstruct the host-side run stream (+ raw overflow frames)."""
-        from ...io.transfer import split_blob, overflow_pixels
+        build the host-side frame views (+ raw overflow frames)."""
+        from ...io.transfer import split_flat, gather_frames
+        from ...ops.rle import Rle3Frames, PAL_K
         blob = np.asarray(st["blob"])
         self.transfer_bytes += blob.nbytes
-        ln, co, cnt = split_blob(blob, st["treedef"], st["specs"])
-        cnt = np.asarray(cnt)
+        packed = split_flat(blob, st["treedef"], st["specs"])
+        frames = Rle3Frames(packed, st["budget"])
         skey = st["skey"]
-        self._run_stats[skey] = max(self._run_stats.get(skey, 0),
-                                    int(cnt.max()))
-        over = overflow_pixels((ln, co, cnt), st["imgs"], cnt.shape[0])
+        F = max(frames.cnt.size, 1)
+        for suf, tot in (("T", int(frames.cnt.sum())),
+                         ("P", int(np.minimum(frames.nc, PAL_K).sum())),
+                         ("E", int(frames.ec.sum()))):
+            k = f"{skey}:{suf}"
+            self._run_stats[k] = max(self._run_stats.get(k, 0.0), tot / F)
+        over = gather_frames(st["imgs"], frames.overflow_indices(F))
         if over:
             self.transfer_bytes += sum(a.nbytes for a in over.values())
-        return ln, co, cnt, over, st["hw"]
+        return frames, over, st["hw"]
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -238,7 +255,7 @@ class GeometryGeneratorTPU:
                                          st["params_save_paths"])
         batch, metas, dpi = st["batch"], st["metas"], st["dpi"]
         n = len(seeds)
-        ln, co, cnt, over, (H, W) = self._render_finish(st)
+        frames, over, (H, W) = self._render_finish(st)
 
         from .check import check_scene_inside, compute_scene_features
         records = []
@@ -272,9 +289,9 @@ class GeometryGeneratorTPU:
                     self._pool.submit_png(save_paths[i], over[i])
                 else:
                     # pixel-free path: PNG encoded in C straight from the
-                    # run stream (io/native/fastpng.c::fastpng_write_rle)
-                    self._pool.submit_png_rle(save_paths[i], ln[i], co[i],
-                                              int(cnt[i]), H, W)
+                    # compacted rle3 stream (palette lookup in the worker)
+                    self._pool.submit_png_rle3(save_paths[i], frames, i,
+                                               H, W)
             if params_save_paths[i]:
                 d = os.path.dirname(params_save_paths[i])
                 if d:

@@ -47,6 +47,10 @@ from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
                             split_blob as _split_blob,
                             coalesce_shrunk as _coalesce_shrunk,
                             shrunk_specs as _shrunk_specs, transfer_tier,
+                            coalesce_flat as _coalesce_flat,
+                            coalesce_flat_shrunk as _coalesce_flat_shrunk,
+                            split_flat as _split_flat,
+                            gather_frames as _gather_frames,
                             unpack_images as _unpack_images, HostBufferRing)
 
 
@@ -359,13 +363,24 @@ class RPMGeneratorTPU:
             if "grid_img_packed" in out:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
+            codec = getattr(self.cfg, "transfer_codec", "rle2")
+            if codec == "rle3":
+                # batch-compact + palettize the run streams on device
+                # (ops/rle.py::compact_rle3) — outside the mesh-sharded
+                # pipeline jit, so this is where shards get gathered
+                from ...ops.rle import compact_rle3
+                for key in list(transfer):
+                    if key.endswith("_packed"):
+                        transfer[key] = compact_rle3(*transfer[key])
+            flat_blob = codec == "rle3"
             leaves, treedef, specs = _blob_specs(transfer)
             sizes = self._shrink_sizes(leaf, transfer)
             if any(s is not None for s in sizes):
-                blob = _coalesce_shrunk(leaves, sizes)
+                blob = (_coalesce_flat_shrunk if flat_blob
+                        else _coalesce_shrunk)(leaves, sizes)
                 specs = _shrunk_specs(leaves, sizes)
             else:
-                blob = _coalesce(leaves)
+                blob = (_coalesce_flat if flat_blob else _coalesce)(leaves)
             getattr(blob, "copy_to_host_async", lambda: None)()
             # device-resident handles: raw frames (overflow fallback) and
             # the full-batch phashes (the sharded dedup collective needs
@@ -434,6 +449,28 @@ class RPMGeneratorTPU:
         for key in sorted(transfer):
             val = transfer[key]
             n_leaves = len(jax.tree.leaves(val))
+            if key.endswith("_packed") and codec == "rle3" and n_leaves == 7:
+                # compacted streams: tier each stream AXIS (batch totals,
+                # not per-frame counts).  Stats store per-frame averages
+                # so a different batch size next run still produces a
+                # sane tier.
+                LN, _IDX, PAL, ESC = val[0], val[1], val[2], val[3]
+                F = int(np.prod(val[4].shape, dtype=np.int64))
+
+                def tier_for(suffix, cap):
+                    st = self._tier_stats.get(f"{leaf}:{key}:{suffix}")
+                    return transfer_tier(
+                        None if st is None else st * F, cap)
+
+                tT = tier_for("T", int(LN.shape[0]))
+                tP = tier_for("P", int(PAL.shape[0]))
+                tE = tier_for("E", int(ESC.shape[0]))
+                sizes += [None if tT is None else (0, tT),
+                          None if tT is None else (0, tT),
+                          None if tP is None else (0, tP),
+                          None if tE is None else (0, tE),
+                          None, None, None]
+                continue
             if not (key.endswith("_packed") and codec in ("rle", "rle2")):
                 sizes += [None] * n_leaves
                 continue
@@ -448,10 +485,25 @@ class RPMGeneratorTPU:
         return tuple(sizes)
 
     def _update_run_stats(self, leaf: str, out) -> None:
+        from ...ops.rle import PAL_K
         for key in ("state_imgs_packed", "option_imgs_packed",
                     "grid_img_packed"):
-            if key in out:
-                c = int(np.asarray(out[key][2]).max())
+            if key not in out:
+                continue
+            val = out[key]
+            if len(val) == 7:  # rle3: per-frame AVERAGE totals (see
+                cnt = np.asarray(val[4])     # _shrink_sizes)
+                nc = np.asarray(val[5])
+                ec = np.asarray(val[6])
+                F = max(cnt.size, 1)
+                for suf, tot in (("T", int(cnt.sum())),
+                                 ("P", int(np.minimum(nc, PAL_K).sum())),
+                                 ("E", int(ec.sum()))):
+                    k = f"{leaf}:{key}:{suf}"
+                    self._run_stats[k] = max(self._run_stats.get(k, 0.0),
+                                             tot / F)
+            else:
+                c = int(np.asarray(val[2]).max())
                 k = f"{leaf}:{key}"
                 self._run_stats[k] = max(self._run_stats.get(k, 0), c)
 
@@ -502,7 +554,8 @@ class RPMGeneratorTPU:
             blob, treedef, specs, raw, n_real = out
             blob_np = np.asarray(blob)
             self.transfer_bytes += blob_np.nbytes
-            full = _split_blob(blob_np, treedef, specs)
+            full = (_split_flat if blob_np.ndim == 1
+                    else _split_blob)(blob_np, treedef, specs)
             out = {k: (v if k.endswith("_packed")
                        else jax.tree.map(lambda a: a[:n_real], v))
                    for k, v in full.items()}
@@ -524,9 +577,32 @@ class RPMGeneratorTPU:
         # overflowed their (possibly shrunken) run capacity are fetched
         # raw, all of them in one gathered transfer per tensor
         direct = codec == "rle2" and "grid_img_packed" in out
+        direct3 = (codec == "rle3" and "grid_img_packed" in out
+                   and len(out["grid_img_packed"]) == 7)
         state_imgs = option_imgs = grid_imgs = None
         over_grid = over_state = over_opt = None
-        if direct:
+        g_fr = s_fr = o_fr = None
+        if direct3:
+            # rle3: per-frame views into the compacted streams; frames
+            # whose runs/escapes were truncated fetch raw, all in one
+            # gathered transfer per tensor
+            from ...ops.rle import Rle3Frames
+            g_fr = Rle3Frames(out["grid_img_packed"], pipe.grid_budget)
+            over_grid = _gather_frames(out["grid_img"],
+                                       g_fr.overflow_indices(n_real))
+            if not grid_only:
+                s_fr = Rle3Frames(out["state_imgs_packed"],
+                                  pipe.frame_budget)
+                o_fr = Rle3Frames(out["option_imgs_packed"],
+                                  pipe.frame_budget)
+                over_state = _gather_frames(
+                    out["state_imgs"], s_fr.overflow_indices(n_real * L))
+                over_opt = _gather_frames(
+                    out["option_imgs"], o_fr.overflow_indices(n_real * O))
+            for m in (over_grid, over_state, over_opt):
+                if m:
+                    self.transfer_bytes += sum(a.nbytes for a in m.values())
+        elif direct:
             from ...io.transfer import overflow_pixels
             over_grid = overflow_pixels(
                 out["grid_img_packed"], out["grid_img"], n_real)
@@ -591,16 +667,18 @@ class RPMGeneratorTPU:
         # lockstep collective (cli.merge_host_indexes)
         phashes = np.asarray(out["grid_phash"])
 
+        if direct or direct3:
+            gh, gw = out["grid_img"].shape[-3], out["grid_img"].shape[-2]
+            if not grid_only:
+                fh, fw = (out["state_imgs"].shape[-3],
+                          out["state_imgs"].shape[-2])
         if direct:
             g_ln, g_co, g_cnt = out["grid_img_packed"]
             g_cap = g_ln.shape[-1]
-            gh, gw = out["grid_img"].shape[-3], out["grid_img"].shape[-2]
             if not grid_only:
                 s_ln, s_co, s_cnt = out["state_imgs_packed"]
                 o_ln, o_co, o_cnt = out["option_imgs_packed"]
                 s_cap, o_cap = s_ln.shape[-1], o_ln.shape[-1]
-                fh, fw = (out["state_imgs"].shape[-3],
-                          out["state_imgs"].shape[-2])
 
         for b, (sid, path, use_grid) in enumerate(chunk):
             if not keep[b]:
@@ -616,7 +694,14 @@ class RPMGeneratorTPU:
             if not grid_only:
                 for t in range(L):
                     spath = os.path.join(sample_dir, f"state_{t}.png")
-                    if not direct:
+                    if direct3:
+                        fi = b * L + t
+                        if fi in over_state:
+                            self._pool.submit_png(spath, over_state[fi])
+                        else:
+                            self._pool.submit_png_rle3(spath, s_fr, fi,
+                                                       fh, fw)
+                    elif not direct:
                         self._pool.submit_png(spath, state_imgs[b, t])
                     elif int(s_cnt[b, t]) > s_cap:
                         self._pool.submit_png(spath, over_state[b * L + t])
@@ -631,7 +716,14 @@ class RPMGeneratorTPU:
                     name = ("proto_true_next.png" if src == 0 else
                             f"option_{src}.png")
                     opath = os.path.join(sample_dir, name)
-                    if not direct:
+                    if direct3:
+                        fi = b * O + pos
+                        if fi in over_opt:
+                            self._pool.submit_png(opath, over_opt[fi])
+                        else:
+                            self._pool.submit_png_rle3(opath, o_fr, fi,
+                                                       fh, fw)
+                    elif not direct:
                         self._pool.submit_png(opath, option_imgs[b, pos])
                     elif int(o_cnt[b, pos]) > o_cap:
                         self._pool.submit_png(opath, over_opt[b * O + pos])
@@ -641,7 +733,16 @@ class RPMGeneratorTPU:
                             int(o_cnt[b, pos]), fh, fw)
                 self._pool.submit_png(os.path.join(sample_dir, "query.png"),
                                       layout.query_patch)
-            if not direct:
+            if direct3:
+                if b in over_grid:
+                    self._pool.submit_png(grid_path, over_grid[b])
+                else:
+                    # pre-overlay canvas + exact host overlay re-blend,
+                    # same contract as the rle2 path below
+                    self._pool.submit_png_rle3(
+                        grid_path, g_fr, b, gh, gw,
+                        overlay=(layout.overlay_rgb_u8, layout.overlay_a8))
+            elif not direct:
                 self._pool.submit_png(grid_path, grid_imgs[b])
             elif int(g_cnt[b]) > g_cap:
                 # raw fallback frames are the FULL grid (overlay already

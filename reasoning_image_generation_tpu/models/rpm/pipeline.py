@@ -243,6 +243,15 @@ class LeafPipeline:
         L = self.L
         gs = cfg.grid_size
 
+        # per-frame run capacities of the packed transfer streams; the
+        # export path needs them to spot frames that overflowed (their
+        # runs were scatter-dropped on device)
+        from ...ops.rle import default_budget, default_grid_budget
+        self.frame_budget = (getattr(cfg, "rle_budget", 0)
+                             or default_budget(H, W))
+        self.grid_budget = (getattr(cfg, "rle_budget_grid", 0)
+                            or default_grid_budget(layout.grid_h, W))
+
         backend = getattr(cfg, "renderer", "auto")
         if backend == "auto":
             plat = jax.devices()[0].platform.lower()
@@ -297,7 +306,12 @@ class LeafPipeline:
             # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
                 codec = getattr(cfg, "transfer_codec", "rle2")
-                if codec in ("rle", "rle2"):
+                if codec in ("rle", "rle2", "rle3"):
+                    # rle3 packs per-frame rle2 here; the batch compaction
+                    # + palettization (ops/rle.py::compact_rle3) runs in
+                    # the generator OUTSIDE this jit so the pipeline's
+                    # outputs keep their leading batch axis (mesh-sharded
+                    # over 'data')
                     from ...ops.rle import (pack_batch_rle, pack_batch_rle2,
                                             default_budget,
                                             default_grid_budget)
@@ -305,8 +319,8 @@ class LeafPipeline:
                               or default_budget(H, W))
                     gb = (getattr(cfg, "rle_budget_grid", 0)
                           or default_grid_budget(layout.grid_h, W))
-                    pack = (pack_batch_rle2 if codec == "rle2"
-                            else pack_batch_rle)
+                    pack = (pack_batch_rle if codec == "rle"
+                            else pack_batch_rle2)
                 else:
                     from ...ops.sparse import n_blocks
                     frac = getattr(cfg, "sparse_budget", 0.35)
@@ -323,7 +337,7 @@ class LeafPipeline:
                 # full grid stays device-resident for pHash + the raw
                 # overflow fallback.
                 out["grid_img_packed"] = pack(
-                    grids_pre if codec == "rle2" else grids, gb)
+                    grids_pre if codec in ("rle2", "rle3") else grids, gb)
             return out
 
         # the unjitted body, exposed for AOT export and for callers that

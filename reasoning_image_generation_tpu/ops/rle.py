@@ -159,92 +159,225 @@ def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
             count.reshape(lead))
 
 
-# ---- v2p: palette-indexed runs at 3 bytes/run (u16 length + u8 index) ----
+# ---- v3: batch-compacted palette codec (~3 bytes/run, zero slack) ----
 #
-# Run colors are heavily repeated: a 512^2 state frame has p50 ~120-138
-# DISTINCT colors among thousands of runs (element fills + the AA blend
-# ramp against the background), so an on-device per-frame palette turns
-# the 3-byte RGB per run into a 1-byte index: 5 -> 3 bytes/run plus a
-# fixed 776-byte palette block per frame (~40% fewer link bytes on
-# full-export streams).  Frames with >256 distinct run colors (rare;
-# composed grids can exceed it, which is why grids stay on rle2) fall
-# back to the same raw-frame fetch as run-budget overflow.
+# Two structural wastes remain in the per-frame rle2 transfer:
+#   1. every frame ships its full (tiered) run CAPACITY — the tier covers
+#      the largest frame the leaf ever produced, but the p50 frame is
+#      2-3x below it, so most of the stream is dead slots;
+#   2. every run ships 3 raw color bytes although a frame draws from a
+#      small working set (element fills + the AA ramp against them —
+#      measured 78-850 distinct colors/frame on production outputs).
+# v3 removes both ON DEVICE: all frames of a tensor scatter their live
+# runs into ONE contiguous stream (per-frame offsets = exclusive cumsum
+# of run counts, so the shipped axis is the batch TOTAL, whose relative
+# variance is ~sqrt(F) smaller than a single frame's), and each frame
+# gets a 255-entry most-frequent-color palette; runs outside it carry
+# the marker index 255 and their RGB travels in a separate compacted
+# escape stream, so >255-color frames degrade by a few bytes instead of
+# falling back to a 786 KB raw fetch.  Per run: u16 length + u8 index =
+# 3 bytes, plus amortized palette (<=765 B/frame, compacted to its true
+# size) and escapes (3 B each, usually zero).
+#
+# Decode contract (host, exact): for frame f with run count c=cnt[f],
+#   ln  = LN [off[f] : off[f]+c]          off = exclusive cumsum of cnt
+#   ix  = IDX[off[f] : off[f]+c]
+#   pal = PAL[poff[f] : poff[f]+min(nc[f],255)]
+#   esc = ESC[eoff[f] : eoff[f]+ec[f]]
+#   rgb = pal[ix];  rgb[ix == 255] = esc   (in stream order)
+# A frame overflows (caller fetches it raw) iff c > the per-frame device
+# capacity or its run/escape slice extends past the (adaptively shrunk)
+# shipped stream.
 
-MAX_PAL = 256
-_PAL_SENTINEL = jnp.uint32(0xFFFFFFFF)
+PAL_K = 255          # palette entries per frame; index 255 = escape marker
+ESC_MARK = 255
+_PAL_SENTINEL = jnp.uint32(0xFFFFFFFF)   # sorts past every 24-bit color
 
 
-def palettize_runs(colors: jnp.ndarray, count: jnp.ndarray):
-    """(colors u8 [cap, 3], count) -> (palette u8 [256, 3], idx u8 [cap],
-    n_colors i32).
+def palettize_frame_esc(rgb: jnp.ndarray, count: jnp.ndarray):
+    """(rgb u8 [cap, 3], count) -> (pal u8 [255, 3], nc i32, idx u8 [cap],
+    esc_mask bool [cap]).
 
-    Sort-compact over the RUN colors (<= cap values, not H*W pixels):
-    dead slots sort to a sentinel past every 24-bit color, unique values
-    scatter-compact into the palette exactly like run boundaries do in
-    pack_frame_rle, and searchsorted maps each run to its index.  When
-    n_colors > 256 the idx column is meaningless — callers must treat the
-    frame as overflowed."""
-    cap = colors.shape[0]
-    col32 = (colors[:, 0].astype(jnp.uint32) << 16
-             | colors[:, 1].astype(jnp.uint32) << 8
-             | colors[:, 2].astype(jnp.uint32))
+    Top-255-by-frequency palette over the LIVE runs: sort the packed
+    colors, mark unique boundaries, measure each unique's multiplicity as
+    boundary-to-boundary distance (the same cumsum/scatter compaction the
+    run encoder uses), lax.top_k the multiplicities, then re-sort the
+    winners by value so searchsorted can map runs to indices.  `nc` is
+    the TRUE distinct-color count (may exceed 255); runs whose color
+    missed the palette get idx=255 and esc_mask set."""
+    cap = rgb.shape[0]
+    col32 = (rgb[:, 0].astype(jnp.uint32) << 16
+             | rgb[:, 1].astype(jnp.uint32) << 8
+             | rgb[:, 2].astype(jnp.uint32))
     live = jnp.arange(cap, dtype=jnp.int32) < count
-    masked = jnp.where(live, col32, _PAL_SENTINEL)
-    s = jnp.sort(masked)
+    s = jnp.sort(jnp.where(live, col32, _PAL_SENTINEL))
     uniq = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     uniq = uniq & (s != _PAL_SENTINEL)
     pos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
-    n_colors = jnp.where(jnp.any(uniq), pos[-1] + 1, 0)
-    tgt = jnp.where(uniq & (pos < MAX_PAL), pos, MAX_PAL)
-    pal32 = jnp.full((MAX_PAL,), _PAL_SENTINEL,
-                     jnp.uint32).at[tgt].set(s, mode="drop")
-    idx = jnp.searchsorted(pal32, col32).astype(jnp.uint8)
-    palette = jnp.stack([(pal32 >> 16) & 0xFF, (pal32 >> 8) & 0xFF,
-                         pal32 & 0xFF], axis=-1).astype(jnp.uint8)
-    return palette, idx, n_colors
+    nc = jnp.where(jnp.any(uniq), pos[-1] + 1, 0)
+    # compact unique colors + their first sorted position into [cap] slots
+    slot_i = jnp.arange(cap, dtype=jnp.int32)
+    tgt = jnp.where(uniq, pos, cap)
+    # dead slots carry the sentinel so unchosen top_k picks sort to the
+    # END of the palette (0 would sort to the front and displace real
+    # colors)
+    u_col = jnp.full((cap,), _PAL_SENTINEL, jnp.uint32).at[tgt].set(
+        s, mode="drop")
+    u_start = jnp.zeros((cap,), jnp.int32).at[tgt].set(slot_i, mode="drop")
+    # multiplicity = next unique's start - own start (last one ends at the
+    # live count); dead slots get 0 so top_k never prefers them over real
+    # colors
+    nxt = jnp.concatenate([u_start[1:], jnp.zeros((1,), jnp.int32)])
+    n_live = jnp.minimum(count, cap).astype(jnp.int32)
+    nxt = jnp.where(slot_i == nc - 1, n_live, nxt)
+    mult = jnp.where(slot_i < nc, nxt - u_start, 0)
+    _topv, topi = jax.lax.top_k(mult, PAL_K)
+    chosen = u_col[topi]                       # [255] u32, sentinel-padded
+    pal32 = jnp.sort(chosen)                   # ascending for searchsorted
+    # dead choices (mult 0 slots) carry the sentinel and sort to the end
+    pal32 = jnp.where(jnp.arange(PAL_K) < jnp.minimum(nc, PAL_K),
+                      pal32, _PAL_SENTINEL)
+    j = jnp.searchsorted(pal32, col32).astype(jnp.int32)
+    jc = jnp.minimum(j, PAL_K - 1)
+    hit = (j < PAL_K) & (pal32[jc] == col32)
+    idx = jnp.where(hit, jc, ESC_MARK).astype(jnp.uint8)
+    esc_mask = live & ~hit
+    pal = jnp.stack([(pal32 >> 16) & 0xFF, (pal32 >> 8) & 0xFF,
+                     pal32 & 0xFF], axis=-1).astype(jnp.uint8)
+    return pal, nc, idx, esc_mask
 
 
-def pack_frame_rle2p(img: jnp.ndarray, max_runs: int):
-    """u8 [H, W, 3] -> (lengths u16 [max_runs], idx u8 [max_runs],
-    palette u8 [256, 3], n_colors i32, count i32)."""
-    lengths, rgb, count = pack_frame_rle2(img, max_runs)
-    palette, idx, n_colors = palettize_runs(rgb, count)
-    return lengths, idx, palette, n_colors, count
+def _compact(values: jnp.ndarray, counts: jnp.ndarray, cap_out: int):
+    """Scatter per-frame prefixes into one contiguous stream.
+
+    values [F, cap, ...] / counts [F] -> stream [cap_out, ...]: frame f's
+    first counts[f] slots land at offset exclusive-cumsum(counts)[f].
+    Entries past cap_out drop (the host detects the truncation from the
+    counts, which always travel whole)."""
+    F, cap = values.shape[0], values.shape[1]
+    off = jnp.cumsum(counts) - counts          # exclusive
+    slot = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = slot < counts[:, None]
+    tgt = jnp.where(live, off[:, None] + slot, cap_out)
+    out_shape = (cap_out,) + values.shape[2:]
+    return jnp.zeros(out_shape, values.dtype).at[tgt.reshape(-1)].set(
+        values.reshape((-1,) + values.shape[2:]), mode="drop")
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle3(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
+    """Batch rle2 streams -> one compacted rle3 transfer tuple.
+
+    (lengths u16 [..., cap], rgb u8 [..., cap, 3], count i32 [...]) ->
+    (LN u16 [Tcap], IDX u8 [Tcap], PAL u8 [Pcap, 3], ESC u8 [Ecap, 3],
+     cnt i32 [...], nc i32 [...], ec i32 [...])
+    with Tcap = Ecap = F*cap and Pcap = F*255 STATIC device capacities
+    (the adaptive transfer shrink truncates each stream axis to its tier
+    before the bytes move)."""
+    lead = count.shape
+    cap = lengths.shape[-1]
+    ln = lengths.reshape(-1, cap)
+    co = rgb.reshape(-1, cap, 3)
+    cnt = count.reshape(-1).astype(jnp.int32)
+    F = ln.shape[0]
+    pal, nc, idx, esc_mask = jax.vmap(palettize_frame_esc)(co, cnt)
+    c = jnp.minimum(cnt, cap)                  # runs past cap never packed
+    LN = _compact(ln, c, F * cap)
+    IDX = _compact(idx, c, F * cap)
+    # escapes compact twice: within the frame (run order), then across
+    # frames — reuse _compact by first gathering each frame's escape RGBs
+    # into its own prefix
+    ec = jnp.sum(esc_mask, axis=1).astype(jnp.int32)
+    epos = jnp.cumsum(esc_mask, axis=1) - 1
+    etgt = jnp.where(esc_mask, epos, cap)
+    esc_f = jnp.zeros((F, cap, 3), jnp.uint8)
+    esc_f = jax.vmap(lambda t, v, buf: buf.at[t].set(v, mode="drop"))(
+        etgt, co, esc_f)
+    ESC = _compact(esc_f, ec, F * cap)
+    nck = jnp.minimum(nc, PAL_K)
+    PAL = _compact(pal, nck, F * PAL_K)
+    return (LN, IDX, PAL, ESC, cnt.reshape(lead), nc.reshape(lead),
+            ec.reshape(lead))
 
 
 @partial(jax.jit, static_argnames=("max_runs",))
-def pack_batch_rle2p(imgs: jnp.ndarray, max_runs: int):
-    """u8 [..., H, W, 3] with any leading dims."""
-    lead = imgs.shape[:-3]
-    flat = imgs.reshape((-1,) + imgs.shape[-3:])
-    ln, idx, pal, nc, cnt = jax.vmap(
-        lambda x: pack_frame_rle2p(x, max_runs))(flat)
-    return (ln.reshape(lead + ln.shape[1:]),
-            idx.reshape(lead + idx.shape[1:]),
-            pal.reshape(lead + pal.shape[1:]),
-            nc.reshape(lead), cnt.reshape(lead))
+def pack_batch_rle3(imgs: jnp.ndarray, max_runs: int):
+    """Render batch -> compacted rle3 transfer tuple in ONE dispatch
+    (pack_batch_rle2 + compact_rle3 fused under a single jit)."""
+    ln, co, cnt = pack_batch_rle2(imgs, max_runs)
+    return compact_rle3(ln, co, cnt)
 
 
-def rle2p_to_rle2(lengths: np.ndarray, idx: np.ndarray, palette: np.ndarray,
-                  n_colors: int, count: int):
-    """Host-side: one frame's palette stream -> the rle2 (lengths, rgb)
-    form the C PNG encoder consumes.  OverflowError on palette overflow
-    (caller fetches the raw frame, same contract as run-budget
-    overflow)."""
-    if n_colors > MAX_PAL:
-        raise OverflowError(f"rle2p palette overflow: {n_colors} colors")
-    if count > lengths.shape[0]:
-        raise OverflowError(
-            f"rle2p frame overflow: {count} > {lengths.shape[0]}")
-    rgb = np.asarray(palette, np.uint8)[np.asarray(idx[:count], np.int64)]
-    return np.asarray(lengths[:count], np.uint16), rgb
+def rle3_offsets(cnt: np.ndarray, nc: np.ndarray, ec: np.ndarray, cap: int):
+    """Host-side per-frame stream offsets (exclusive cumsums, flat frame
+    order) mirroring compact_rle3's scatter targets."""
+    c = np.minimum(np.asarray(cnt, np.int64).reshape(-1), cap)
+    nck = np.minimum(np.asarray(nc, np.int64).reshape(-1), PAL_K)
+    e = np.asarray(ec, np.int64).reshape(-1)
+    return (np.cumsum(c) - c, np.cumsum(nck) - nck, np.cumsum(e) - e)
 
 
-def unpack_frame_rle2p(lengths, idx, palette, n_colors: int, count: int,
-                       shape) -> np.ndarray:
-    """Host-side exact reconstruction of the palette stream."""
-    ln, rgb = rle2p_to_rle2(lengths, idx, palette, n_colors, count)
-    return unpack_frame_rle2(ln, rgb, count, shape)
+class Rle3Frames:
+    """Host view over one tensor's compacted rle3 transfer.
+
+    frame(i) -> (lengths u16 [c], rgb u8 [c, 3]) reconstructed exactly;
+    OverflowError when the frame exceeded its device run capacity or its
+    slice was truncated by the adaptive shrink (caller fetches raw).
+    `overflow_indices(n)` lists those frames up front so the raw
+    fallbacks batch into one gathered fetch."""
+
+    def __init__(self, packed, cap: int):
+        LN, IDX, PAL, ESC, cnt, nc, ec = packed
+        self.LN = np.asarray(LN)
+        self.IDX = np.asarray(IDX)
+        self.PAL = np.asarray(PAL)
+        self.ESC = np.asarray(ESC)
+        self.cnt = np.asarray(cnt).reshape(-1)
+        self.nc = np.asarray(nc).reshape(-1)
+        self.ec = np.asarray(ec).reshape(-1)
+        self.cap = cap
+        self.off, self.poff, self.eoff = rle3_offsets(
+            self.cnt, self.nc, self.ec, cap)
+
+    def _bad(self, i: int) -> bool:
+        c, e = int(self.cnt[i]), int(self.ec[i])
+        nck = min(int(self.nc[i]), PAL_K)
+        return (c > self.cap
+                or self.off[i] + c > self.LN.shape[0]
+                or self.eoff[i] + e > self.ESC.shape[0]
+                or self.poff[i] + nck > self.PAL.shape[0])
+
+    def overflow_indices(self, n_frames: int) -> np.ndarray:
+        return np.asarray([i for i in range(n_frames) if self._bad(i)],
+                          np.int64)
+
+    def frame(self, i: int):
+        if self._bad(i):
+            raise OverflowError(f"rle3 frame {i} overflowed")
+        c, e = int(self.cnt[i]), int(self.ec[i])
+        nck = min(int(self.nc[i]), PAL_K)
+        o = int(self.off[i])
+        ln = self.LN[o:o + c]
+        ix = self.IDX[o:o + c].astype(np.int64)
+        pal = self.PAL[int(self.poff[i]):int(self.poff[i]) + nck]
+        rgb = pal[np.minimum(ix, nck - 1 if nck else 0)]
+        m = ix == ESC_MARK
+        if int(m.sum()) != e:
+            raise OverflowError(f"rle3 frame {i}: escape count mismatch")
+        if e:
+            eo = int(self.eoff[i])
+            rgb = rgb.copy()
+            rgb[m] = self.ESC[eo:eo + e]
+        return np.ascontiguousarray(ln), np.ascontiguousarray(rgb)
+
+    def unpack(self, i: int, shape) -> np.ndarray:
+        ln, rgb = self.frame(i)
+        return unpack_frame_rle2(ln, rgb, ln.shape[0], shape)
+
+    def nbytes_shipped(self) -> int:
+        return (self.LN.nbytes + self.IDX.nbytes + self.PAL.nbytes
+                + self.ESC.nbytes + self.cnt.nbytes + self.nc.nbytes
+                + self.ec.nbytes)
 
 
 def unpack_frame_rle2(lengths: np.ndarray, colors: np.ndarray, count: int,

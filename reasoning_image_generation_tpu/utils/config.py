@@ -113,7 +113,7 @@ class GenConfig:
     # 5 bytes/run — the default), 'rle' (u32 start + u32 packed color,
     # 8 bytes/run), or 'sparse' (8x8 block codec, ops/sparse.py).  All are
     # lossless with a raw-frame fallback on budget overflow.
-    transfer_codec: str = "rle2"
+    transfer_codec: str = "rle3"
     # RLE run budgets (max runs per frame; overflow falls back to a raw
     # transfer).  Measured: state/option frames p50 ~2.4k runs, max 3.2k;
     # composed grids max ~8.2k.  0 = defaults: H*W/32 for frames

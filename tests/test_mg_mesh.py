@@ -17,14 +17,11 @@ def test_mg_generator_builds_mesh_and_matches_unsharded(tmp_path):
     from reasoning_image_generation_tpu.models.multigraph.renderer import (
         render_scene_batch)
 
-    from reasoning_image_generation_tpu.ops.rle import unpack_frame_rle2
-
     def decode(rendered):
-        ln, co, cnt, over, (H, W) = rendered
+        frames, over, (H, W) = rendered
         out = []
-        for i in range(len(cnt)):
-            out.append(over[i] if i in over else
-                       unpack_frame_rle2(ln[i], co[i], int(cnt[i]), (H, W)))
+        for i in range(frames.cnt.size):
+            out.append(over[i] if i in over else frames.unpack(i, (H, W)))
         return np.stack(out)
 
     gen = GeometryGeneratorTPU(renderer="jnp")

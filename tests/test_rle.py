@@ -149,79 +149,93 @@ def test_generator_end_to_end_with_rle(tmp_path):
         np.testing.assert_array_equal(ga, gb)
 
 
-# ---- rle2p (palette-indexed runs) ----
+# ---- rle3 (batch-compacted palette codec) ----
 
-def test_rle2p_roundtrip_exact():
+def test_rle3_roundtrip_exact_all_frames():
     from reasoning_image_generation_tpu.ops.rle import (
-        pack_frame_rle2p, unpack_frame_rle2p)
+        pack_batch_rle3, Rle3Frames)
+    imgs = np.stack([_img(i) for i in range(6)]).reshape(2, 3, 64, 64, 3)
+    cap = 2048
+    packed = pack_batch_rle3(jnp.asarray(imgs), cap)
+    fr = Rle3Frames([np.asarray(a) for a in packed], cap)
+    assert fr.overflow_indices(6).size == 0
+    flat = imgs.reshape(-1, 64, 64, 3)
+    for i in range(6):
+        np.testing.assert_array_equal(fr.unpack(i, (64, 64)), flat[i])
+
+
+def test_rle3_matches_rle2_stream():
+    """Per-frame (lengths, rgb) reconstructed from the compacted palette
+    stream must equal the rle2 stream bit-for-bit (the C PNG encoder
+    consumes the converted stream, so this IS PNG parity)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2, compact_rle3, Rle3Frames)
+    imgs = np.stack([_img(10 + i, n_rects=10) for i in range(4)])
+    cap = 2048
+    ln2, co2, cnt2 = pack_batch_rle2(jnp.asarray(imgs), cap)
+    fr = Rle3Frames([np.asarray(a)
+                     for a in compact_rle3(ln2, co2, cnt2)], cap)
+    ln2, co2, cnt2 = np.asarray(ln2), np.asarray(co2), np.asarray(cnt2)
+    for i in range(4):
+        ln, rgb = fr.frame(i)
+        c = int(cnt2[i])
+        np.testing.assert_array_equal(ln, ln2[i, :c])
+        np.testing.assert_array_equal(rgb, co2[i, :c])
+
+
+def test_rle3_escape_path_exact():
+    """Frames with >255 distinct run colors keep exact decode through the
+    escape stream (no raw-frame fallback)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle3, Rle3Frames, PAL_K)
     img = _img(3)
-    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
-    back = unpack_frame_rle2p(np.asarray(ln), np.asarray(idx),
-                              np.asarray(pal), int(nc), int(cnt), (64, 64))
-    np.testing.assert_array_equal(back, img)
+    # stripe of ~640 distinct single-run colors
+    img[54:64, :, 0] = (np.arange(640) % 256).astype(np.uint8).reshape(10, 64)
+    img[54:64, :, 1] = np.repeat(np.arange(10, dtype=np.uint8) * 7,
+                                 64).reshape(10, 64)
+    packed = pack_batch_rle3(jnp.asarray(img[None]), 4096)
+    fr = Rle3Frames([np.asarray(a) for a in packed], 4096)
+    assert int(fr.nc[0]) > PAL_K and int(fr.ec[0]) > 0
+    assert fr.overflow_indices(1).size == 0
+    np.testing.assert_array_equal(fr.unpack(0, (64, 64)), img)
 
 
-def test_rle2p_matches_rle2_runs():
-    """Palette lookup reproduces the rle2 color stream bit-for-bit (the C
-    PNG encoder is fed the converted stream, so this IS PNG parity)."""
+def test_rle3_truncation_overflow_detected():
+    """A shrunken stream axis (adaptive tier too small) flags the
+    truncated frames instead of decoding garbage."""
     from reasoning_image_generation_tpu.ops.rle import (
-        pack_frame_rle2, pack_frame_rle2p, rle2p_to_rle2)
-    img = _img(4, n_rects=10)
-    ln2, rgb2, cnt2 = pack_frame_rle2(jnp.asarray(img), 2048)
-    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
-    assert int(cnt) == int(cnt2)
-    ln_c, rgb_c = rle2p_to_rle2(np.asarray(ln), np.asarray(idx),
-                                np.asarray(pal), int(nc), int(cnt))
-    np.testing.assert_array_equal(ln_c, np.asarray(ln2)[: int(cnt2)])
-    np.testing.assert_array_equal(rgb_c, np.asarray(rgb2)[: int(cnt2)])
-
-
-def test_rle2p_palette_sorted_unique():
-    from reasoning_image_generation_tpu.ops.rle import pack_frame_rle2p
-    img = _img(5)
-    _ln, _idx, pal, nc, _cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
-    pal = np.asarray(pal)[: int(nc)].astype(np.uint32)
-    p32 = (pal[:, 0] << 16) | (pal[:, 1] << 8) | pal[:, 2]
-    assert np.all(np.diff(p32.astype(np.int64)) > 0)  # strictly ascending
-    # every color the image actually uses appears
-    img_cols = np.unique(
-        (img[..., 0].astype(np.uint32) << 16)
-        | (img[..., 1].astype(np.uint32) << 8) | img[..., 2])
-    assert set(img_cols.tolist()) == set(p32.tolist())
-
-
-def test_rle2p_color_overflow_detected():
-    from reasoning_image_generation_tpu.ops.rle import (
-        pack_frame_rle2p, unpack_frame_rle2p)
-    rng = np.random.default_rng(7)
-    # >256 distinct colors across runs
-    img = np.repeat(rng.integers(0, 255, (20, 20, 3), np.uint8),
-                    3, axis=1)  # 20x60, ~400 runs distinct colors
-    ln, idx, pal, nc, cnt = pack_frame_rle2p(jnp.asarray(img), 2048)
-    assert int(nc) > 256
+        pack_batch_rle3, Rle3Frames)
+    imgs = np.stack([_img(20 + i, n_rects=12) for i in range(4)])
+    cap = 2048
+    packed = [np.asarray(a) for a in pack_batch_rle3(jnp.asarray(imgs), cap)]
+    total = int(packed[4].sum())
+    cut = total - int(packed[4][-1]) // 2    # truncate into the last frame
+    packed[0] = packed[0][:cut]
+    packed[1] = packed[1][:cut]
+    fr = Rle3Frames(packed, cap)
+    over = fr.overflow_indices(4)
+    assert over.tolist() == [3]
+    for i in range(3):
+        np.testing.assert_array_equal(fr.unpack(i, (64, 64)), imgs[i])
     try:
-        unpack_frame_rle2p(np.asarray(ln), np.asarray(idx), np.asarray(pal),
-                           int(nc), int(cnt), (20, 60))
+        fr.unpack(3, (64, 64))
         raise AssertionError("expected OverflowError")
     except OverflowError:
         pass
 
 
-def test_rle2p_batch_matches_frame():
+def test_rle3_write_png_parity(tmp_path):
+    """write_png_rle3 produces the same pixels as raw write_png."""
+    import cv2
     from reasoning_image_generation_tpu.ops.rle import (
-        pack_frame_rle2p, pack_batch_rle2p)
-    imgs = np.stack([_img(i) for i in range(4)]).reshape(2, 2, 64, 64, 3)
-    ln, idx, pal, nc, cnt = pack_batch_rle2p(jnp.asarray(imgs), 1024)
-    assert ln.shape == (2, 2, 1024) and idx.shape == (2, 2, 1024)
-    assert pal.shape == (2, 2, 256, 3) and nc.shape == (2, 2)
-    for i in range(2):
-        for j in range(2):
-            l1, x1, p1, n1, c1 = pack_frame_rle2p(
-                jnp.asarray(imgs[i, j]), 1024)
-            np.testing.assert_array_equal(np.asarray(ln[i, j]),
-                                          np.asarray(l1))
-            np.testing.assert_array_equal(np.asarray(idx[i, j]),
-                                          np.asarray(x1))
-            np.testing.assert_array_equal(np.asarray(pal[i, j]),
-                                          np.asarray(p1))
-            assert int(nc[i, j]) == int(n1) and int(cnt[i, j]) == int(c1)
+        pack_batch_rle3, Rle3Frames)
+    from reasoning_image_generation_tpu.io.png import (write_png,
+                                                       write_png_rle3)
+    img = _img(7, n_rects=9)
+    packed = pack_batch_rle3(jnp.asarray(img[None]), 2048)
+    fr = Rle3Frames([np.asarray(a) for a in packed], 2048)
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    write_png_rle3(p1, fr, 0, 64, 64)
+    write_png(p2, img)
+    np.testing.assert_array_equal(cv2.imread(p1), cv2.imread(p2))
