@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    help="export only grid_%%06d.png + meta/coco; per-frame "
                         "state/option images never leave the device "
                         "(~9x fewer bytes across the host link)")
+    p.add_argument("--no_aot", action="store_true",
+                   help="disable the AOT executable cache (utils/aot.py); "
+                        "cold starts then re-trace + re-compile each leaf "
+                        "pipeline through the XLA persistent cache")
     # multi-host scale-out (the reference scales by forking workers over
     # sample ranges, src/cli.py:85-129; the TPU-native equivalent is one
     # process per host, each driving its local chips over a strided id
@@ -212,7 +216,8 @@ def main(argv=None):
 
     cfg = GenConfig(out_dir=args.out_dir, grid_size=args.grid, seed=args.seed,
                     batch_size=args.batch_size,
-                    sparse_transfer=args.sparse, grid_only=args.grid_only)
+                    sparse_transfer=args.sparse, grid_only=args.grid_only,
+                    aot=not args.no_aot)
     workers = args.workers if args.workers is not None else 8
     gen = RPMGeneratorTPU(cfg, io_workers=max(1, workers),
                           use_threads=workers != 0,

@@ -78,7 +78,7 @@ def _jsonable(obj):
 class GeometryGeneratorTPU:
     def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
                  log_level: str = "INFO", io_workers: int = 8,
-                 renderer: str = "auto"):
+                 renderer: str = "auto", aot: bool = True):
         from ...utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.bounds = bounds
@@ -99,6 +99,12 @@ class GeometryGeneratorTPU:
                         "tpu" in str(jax.devices()[0]).lower() else "jnp")
         self.renderer = renderer
         self.mesh = self._maybe_make_mesh()
+        # AOT executable cache (utils/aot.py): scene batches are fixed-shape
+        # (scene.py MAX_SHAPES/MAX_MASKS/MAX_LINES padding), so one cached
+        # executable per (renderer, dpi, B) covers a whole run; a cold
+        # process skips the renderer's trace + lower + compile.
+        self._aot_enabled = bool(aot)
+        self._aot: Dict[str, object] = {}
 
     @staticmethod
     def _maybe_make_mesh():
@@ -121,20 +127,32 @@ class GeometryGeneratorTPU:
             from .renderer_pallas import render_scene_batch_pallas as rfn
         else:
             from .renderer import render_scene_batch as rfn
+        import jax
+        from functools import partial
         n = next(iter(batch.values())).shape[0]
-        if self.mesh is not None and n % self.mesh.size == 0:
-            import jax
-            from functools import partial
-            from jax.sharding import PartitionSpec as P
-            # check_vma off: the body has no collectives, and its scan
-            # carries start from unvarying constants (raster.py fori_loop
-            # inits) which the varying-axis checker would reject
-            imgs = jax.shard_map(
-                partial(rfn, dpi=dpi), mesh=self.mesh,
-                in_specs=P("data"), out_specs=P("data"),
-                check_vma=False)(batch)
-        else:
-            imgs = rfn(batch, dpi=dpi)
+        on_mesh = self.mesh is not None and n % self.mesh.size == 0
+        tag = (f"mg-render-{self.renderer}-dpi{dpi}-B{n}"
+               + (f"-mesh{self.mesh.size}" if on_mesh else ""))
+        if tag not in self._aot:
+            from ...utils.aot import load_or_compile
+            if on_mesh:
+                from jax.sharding import PartitionSpec as P
+                # check_vma off: the body has no collectives, and its scan
+                # carries start from unvarying constants (raster.py
+                # fori_loop inits) the varying-axis checker would reject
+                call = jax.jit(jax.shard_map(
+                    partial(rfn, dpi=dpi), mesh=self.mesh,
+                    in_specs=P("data"), out_specs=P("data"),
+                    check_vma=False))
+            else:
+                call = jax.jit(partial(rfn, dpi=dpi))
+            avals = ({k: jax.ShapeDtypeStruct(v.shape, v.dtype)
+                      for k, v in batch.items()},)
+            self._aot[tag] = (load_or_compile(tag, call, avals,
+                                              enabled=self._aot_enabled,
+                                              spans_all_devices=on_mesh)
+                              or call)
+        imgs = self._aot[tag](batch)
         # device->host: RLE-pack on device and move ONE coalesced blob —
         # a raw 1600^2 batch is 7.7 MB/img on a relay that charges per
         # transfer and gives 4-28 MB/s (io/transfer.py); outline scenes

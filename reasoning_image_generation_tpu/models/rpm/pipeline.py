@@ -357,8 +357,47 @@ class LeafPipeline:
         else:
             self._batch_fn = jax.jit(batch_fn)
         self.mesh = mesh
+        # AOT executable cache (utils/aot.py): per batch size, the compiled
+        # executable loads from disk without tracing/lowering/compiling.
+        self._aot_enabled = bool(getattr(cfg, "aot", True))
+        self._aot: dict = {}  # B -> jax.stages.Compiled | None
+
+    def _aot_tag(self, B: int) -> str:
+        """Cache tag capturing everything the traced program depends on
+        (the package-source + env fingerprints live in utils/aot.py)."""
+        import dataclasses
+        import hashlib
+        d = dataclasses.asdict(self.cfg)
+        d.pop("out_dir", None)
+        d.pop("seed", None)  # keys are inputs; seed never enters the trace
+        # getattr-style extension knobs are not dataclass fields
+        for k in ("grid_only", "rle_budget", "rle_budget_grid",
+                  "sparse_budget", "sparse_budget_grid"):
+            d[k] = getattr(self.cfg, k, None)
+        d["_layout"] = (self.layout.grid_h,
+                        self.frame_budget, self.grid_budget)
+        d["_mesh"] = (tuple(self.mesh.shape.items())
+                      if self.mesh is not None else None)
+        cfg_h = hashlib.sha256(
+            repr(sorted(d.items())).encode()).hexdigest()[:12]
+        return f"rpm-{self.leaf}-B{B}-{cfg_h}"
+
+    def _compiled_for(self, keys, use_grid):
+        B = int(keys.shape[0])
+        if B not in self._aot:
+            from ...utils.aot import load_or_compile
+            avals = (jax.ShapeDtypeStruct(keys.shape, keys.dtype),
+                     jax.ShapeDtypeStruct((B,), jnp.bool_))
+            self._aot[B] = load_or_compile(
+                self._aot_tag(B), self._batch_fn, avals,
+                enabled=self._aot_enabled,
+                spans_all_devices=self.mesh is not None)
+        return self._aot[B]
 
     def __call__(self, keys, use_grid):
+        compiled = self._compiled_for(keys, use_grid)
+        if compiled is not None:
+            return compiled(keys, jnp.asarray(use_grid, jnp.bool_))
         return self._batch_fn(keys, use_grid)
 
 

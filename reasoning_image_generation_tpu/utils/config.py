@@ -124,6 +124,11 @@ class GenConfig:
     # never leave the device): ~9x fewer bytes across the host link for
     # consumers that train on the composed puzzle alone
     grid_only: bool = False
+    # AOT executable cache (utils/aot.py): persist compiled executables so
+    # a cold process skips trace+lower+compile for every leaf pipeline.
+    # Self-invalidating (package-source + jax-version + device fingerprint
+    # in the key); False falls back to plain jit dispatch
+    aot: bool = True
     # multi-chip data parallelism: 'auto' shards the batch over a 1-D device
     # mesh whenever >1 device is visible (the TPU-native equivalent of the
     # reference's process-pool fan-out, src/cli.py:85-129); True forces it,
