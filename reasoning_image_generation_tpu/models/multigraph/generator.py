@@ -131,6 +131,11 @@ class GeometryGeneratorTPU:
         from functools import partial
         n = next(iter(batch.values())).shape[0]
         on_mesh = self.mesh is not None and n % self.mesh.size == 0
+        # AOT round-trips only when the mesh covers EVERY visible device:
+        # deserialize_and_load spans all of them, so a subset-mesh
+        # executable reloads with the wrong shard count (utils/aot.py)
+        spans_all = (self.mesh is not None
+                     and self.mesh.size == jax.device_count())
         tag = (f"mg-render-{self.renderer}-dpi{dpi}-B{n}"
                + (f"-mesh{self.mesh.size}" if on_mesh else ""))
         if tag not in self._aot:
@@ -148,10 +153,9 @@ class GeometryGeneratorTPU:
                 call = jax.jit(partial(rfn, dpi=dpi))
             avals = ({k: jax.ShapeDtypeStruct(v.shape, v.dtype)
                       for k, v in batch.items()},)
-            self._aot[tag] = (load_or_compile(tag, call, avals,
-                                              enabled=self._aot_enabled,
-                                              spans_all_devices=on_mesh)
-                              or call)
+            self._aot[tag] = (load_or_compile(
+                tag, call, avals, enabled=self._aot_enabled,
+                spans_all_devices=on_mesh and spans_all) or call)
         imgs = self._aot[tag](batch)
         # device->host: RLE-pack on device and move ONE coalesced blob —
         # a raw 1600^2 batch is 7.7 MB/img on a relay that charges per

@@ -88,6 +88,10 @@ class RPMGeneratorTPU:
         # bench.py reports bytes/sample so perf deltas can't hide in
         # relay-bandwidth weather
         self.transfer_bytes: int = 0
+        # frames that exceeded their (adaptively shrunk) codec capacity
+        # and fell back to a raw 786 KB fetch — the early-warning signal
+        # for an undersized transfer tier
+        self.overflow_frames: int = 0
         self.mesh = self._maybe_make_mesh()
 
     def _maybe_make_mesh(self):
@@ -457,14 +461,20 @@ class RPMGeneratorTPU:
                 LN, _IDX, PAL, ESC = val[0], val[1], val[2], val[3]
                 F = int(np.prod(val[4].shape, dtype=np.int64))
 
-                def tier_for(suffix, cap):
+                def tier_for(suffix, cap, slack=0):
                     st = self._tier_stats.get(f"{leaf}:{key}:{suffix}")
                     return transfer_tier(
-                        None if st is None else st * F, cap)
+                        None if st is None else st * F + slack, cap)
 
+                # run totals concentrate (~sqrt(F) below single-frame
+                # variance) so the 1.2x multiplicative headroom covers
+                # them; escape/palette totals are BURSTY — one >255-color
+                # frame adds hundreds of escapes to a near-zero average.
+                # Absolute slack is ~15 KB/batch; an undersized tier is a
+                # cascade of 786 KB raw-frame fetches.
                 tT = tier_for("T", int(LN.shape[0]))
-                tP = tier_for("P", int(PAL.shape[0]))
-                tE = tier_for("E", int(ESC.shape[0]))
+                tP = tier_for("P", int(PAL.shape[0]), slack=1024)
+                tE = tier_for("E", int(ESC.shape[0]), slack=4096)
                 sizes += [None if tT is None else (0, tT),
                           None if tT is None else (0, tT),
                           None if tP is None else (0, tP),
@@ -602,6 +612,7 @@ class RPMGeneratorTPU:
             for m in (over_grid, over_state, over_opt):
                 if m:
                     self.transfer_bytes += sum(a.nbytes for a in m.values())
+                    self.overflow_frames += len(m)
         elif direct:
             from ...io.transfer import overflow_pixels
             over_grid = overflow_pixels(
@@ -616,6 +627,7 @@ class RPMGeneratorTPU:
             for m in (over_grid, over_state, over_opt):
                 if m:
                     self.transfer_bytes += sum(a.nbytes for a in m.values())
+                    self.overflow_frames += len(m)
         else:
             # decode into ring buffers: fresh 100 MB state/option tensors
             # cost ~9 s/batch in first-touch page faults on this host.  A

@@ -388,10 +388,16 @@ class LeafPipeline:
             from ...utils.aot import load_or_compile
             avals = (jax.ShapeDtypeStruct(keys.shape, keys.dtype),
                      jax.ShapeDtypeStruct((B,), jnp.bool_))
+            # the AOT round-trip is only safe when the program was
+            # compiled across EVERY visible device: deserialize_and_load
+            # spans all of them, so an executable built on a subset mesh
+            # (small batch on a big host) comes back expecting the wrong
+            # shard count (load_or_compile docstring)
+            spans = (self.mesh is not None
+                     and self.mesh.size == jax.device_count())
             self._aot[B] = load_or_compile(
                 self._aot_tag(B), self._batch_fn, avals,
-                enabled=self._aot_enabled,
-                spans_all_devices=self.mesh is not None)
+                enabled=self._aot_enabled, spans_all_devices=spans)
         return self._aot[B]
 
     def __call__(self, keys, use_grid):

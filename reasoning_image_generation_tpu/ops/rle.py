@@ -340,12 +340,18 @@ class Rle3Frames:
             self.cnt, self.nc, self.ec, cap)
 
     def _bad(self, i: int) -> bool:
+        # Empty slices never overflow: offsets are cumulative, so one
+        # burst frame that truncates a shrunk stream must not cascade
+        # "bad" onto later frames that take nothing from that stream
+        # (measured: a single >255-color frame flagging the whole batch
+        # tail turned ~225 KB/sample transfers into ~2 MB/sample of raw
+        # 786 KB fallback fetches).
         c, e = int(self.cnt[i]), int(self.ec[i])
         nck = min(int(self.nc[i]), PAL_K)
         return (c > self.cap
-                or self.off[i] + c > self.LN.shape[0]
-                or self.eoff[i] + e > self.ESC.shape[0]
-                or self.poff[i] + nck > self.PAL.shape[0])
+                or (c > 0 and self.off[i] + c > self.LN.shape[0])
+                or (e > 0 and self.eoff[i] + e > self.ESC.shape[0])
+                or (nck > 0 and self.poff[i] + nck > self.PAL.shape[0]))
 
     def overflow_indices(self, n_frames: int) -> np.ndarray:
         return np.asarray([i for i in range(n_frames) if self._bad(i)],

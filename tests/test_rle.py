@@ -224,6 +224,33 @@ def test_rle3_truncation_overflow_detected():
         pass
 
 
+def test_rle3_escape_burst_does_not_cascade():
+    """One >255-color frame that blows a shrunk ESCAPE stream must flag
+    only escape-carrying frames — escape-free frames after it still
+    decode exactly (regression: cumulative offsets past the cap used to
+    mark the entire batch tail as overflowed, turning one burst frame
+    into dozens of raw 786 KB fallback fetches)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle3, Rle3Frames, PAL_K)
+    imgs = np.stack([_img(40 + i) for i in range(4)])
+    # frame 1 gets ~640 distinct single-run colors -> hundreds of escapes
+    imgs[1, 54:64, :, 0] = (np.arange(640) % 256).astype(
+        np.uint8).reshape(10, 64)
+    imgs[1, 54:64, :, 1] = np.repeat(np.arange(10, dtype=np.uint8) * 7,
+                                     64).reshape(10, 64)
+    cap = 4096
+    packed = [np.asarray(a) for a in pack_batch_rle3(jnp.asarray(imgs), cap)]
+    nc, ec = packed[5], packed[6]
+    assert int(nc[1]) > PAL_K and int(ec[1]) > 0
+    assert all(int(e) == 0 for e in (ec[0], ec[2], ec[3]))
+    # shrink the escape stream to LESS than frame 1's burst needs
+    packed[3] = packed[3][:int(ec[1]) // 2]
+    fr = Rle3Frames(packed, cap)
+    assert fr.overflow_indices(4).tolist() == [1]
+    for i in (0, 2, 3):
+        np.testing.assert_array_equal(fr.unpack(i, (64, 64)), imgs[i])
+
+
 def test_rle3_write_png_parity(tmp_path):
     """write_png_rle3 produces the same pixels as raw write_png."""
     import cv2
