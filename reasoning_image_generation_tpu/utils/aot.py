@@ -124,6 +124,18 @@ def load_or_compile(tag: str, jitted, avals,
     if not enabled:
         return None
     import jax
+    if (jax.devices()[0].platform == "cpu"
+            and not os.environ.get("RIG_AOT_CPU")):
+        # XLA:CPU AOT payloads are machine-specific: on hosts whose
+        # compiles run through a remote compile service with a different
+        # CPU (this dev env), deserialized executables load with
+        # machine-feature warnings and can then fail at dispatch with
+        # "Function <fusion> not found".  The cache exists to retire the
+        # accelerator cold-start; CPU runs keep the persistent HLO cache
+        # and plain jit dispatch.  RIG_AOT_CPU=1 overrides (tests pin the
+        # round-trip machinery with same-process sandbox entries, which
+        # are safe).
+        return None
     if jax.device_count() > 1 and not spans_all_devices:
         return None
     from jax.experimental import serialize_executable as se

@@ -25,6 +25,11 @@ def aot_sandbox(tmp_path, monkeypatch):
     """Point the AOT dir at a tmp sandbox so tests never pollute (or get
     polluted by) the real cache."""
     monkeypatch.setattr(aot, "aot_dir", lambda: str(tmp_path / "aot"))
+    # the cache is default-off on the CPU backend (remote-compiled CPU
+    # payloads are machine-specific and can fail at dispatch when loaded
+    # by a LATER process); same-process sandbox round-trips are safe, so
+    # the tests force it on to pin the machinery
+    monkeypatch.setenv("RIG_AOT_CPU", "1")
     return tmp_path / "aot"
 
 
