@@ -11,12 +11,15 @@ on this host at 0.202 samples/s (32-sample run, single CPU core,
 
 Stages:
   1. device-only samples/s (north-star: BASELINE.json images/sec/chip)
-  2. e2e full export (state/option/grid PNGs + meta/coco JSON)
-  3. e2e grid-only export
-  4. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
-     leaves weighted (reference README.md:8 — the <10 s / 1k target),
-     both grid-only and full-export variants
-  5. multigraph device + e2e rates
+  2. e2e grid-only export (the composed puzzle is the training artifact)
+  3. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
+     leaves weighted (reference README.md:8 — the <10 s / 1k target)
+  4. combined-dataset BASELINE: 1k RPM (dedup) + 100 multigraph images
+     (dedup) in one timed window — the reference's full ~1k-sample
+     dataset claim spans both pipelines
+  5. e2e full export (state/option/grid PNGs + meta/coco JSON)
+  6. the BASELINE scenario, full-export variant
+  7. multigraph device + e2e rates
 
 Every e2e stage reports measured device->host bytes/sample alongside the
 rate: the dev relay's bandwidth swings 4-28 MB/s minute to minute, so
@@ -25,18 +28,25 @@ bytes/sample is the round-over-round comparable number.  A projected
 emitted for each e2e figure so relay weather can't hide a codec
 regression (or fake an improvement) round over round.
 
-Stage order is cheapest-headline-first (device rate, grid-only e2e, the
-1k-dedup grid-only BASELINE target) and the byte-heavy full-export
-stages run last under a wall-clock budget (BENCH_BUDGET_S, default
-2400 s): a 0.2 MB/s relay day would otherwise turn the ~770 MB
-full-export stages into a multi-hour run that starves the driver of any
-JSON at all.  Skipped stages are listed in `skipped_stages`.
+HERMETIC DESIGN (round-4): the round-3 bench produced NO JSON because the
+TPU relay process died and a bare `jax.devices()` under the axon backend
+hangs forever in its connection-retry loop.  This script now never lets
+relay weather erase the evidence:
+  - the parent process NEVER imports jax.  It (a) preflights the relay —
+    is the relay process alive, does a subprocess-guarded, timeout-bound
+    `jax.devices()` probe return — and (b) runs the actual measurements
+    in a watchdog child with a hard timeout.
+  - the child checkpoints partial results to a file after every stage, so
+    a mid-run relay death still yields every completed stage's numbers.
+  - the parent ALWAYS prints exactly one parseable JSON line and exits 0:
+    full results, partial results + "error", or a pure diagnosis.
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
@@ -77,6 +87,129 @@ BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 # the 1024-sample full-export run is skipped outright.
 SLOW_LINK_MBPS = 2.0
 
+# Parent-side guards (no jax in the parent).
+PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "180"))
+# Hard wall for the watchdog child.  Generous: killing a client
+# mid-transfer can wedge the relay, so this is a last resort above the
+# child's own BENCH_BUDGET_S stage skipping.
+BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", "5000"))
+
+_CHILD_FLAG = "--child"
+
+
+# --------------------------------------------------------------------------
+# parent side: preflight + watchdog (never imports jax)
+# --------------------------------------------------------------------------
+
+def _relay_process_alive() -> bool:
+    """Is the axon TPU relay process (python3 .tpu_init.py) running?"""
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/cmdline", "rb") as f:
+                    cmd = f.read().decode("utf-8", "replace")
+            except OSError:
+                continue
+            if "tpu_init" in cmd:
+                return True
+    except OSError:
+        pass
+    return False
+
+
+def _preflight() -> tuple[bool, str]:
+    """Timeout-bound backend probe in a subprocess (a dead relay makes
+    jax.devices() hang forever in-process; a subprocess we can kill)."""
+    relay = _relay_process_alive()
+    code = ("import jax; d = jax.devices(); "
+            "print(len(d), d[0].platform, flush=True)")
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=PREFLIGHT_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return False, (f"backend probe hung >{PREFLIGHT_TIMEOUT_S:.0f}s "
+                       f"(relay_process_alive={relay}); TPU relay is dead "
+                       "or unreachable")
+    if proc.returncode != 0:
+        tail = (proc.stderr or "").strip().splitlines()[-3:]
+        return False, (f"backend init failed rc={proc.returncode} "
+                       f"(relay_process_alive={relay}): " + " | ".join(tail))
+    return True, proc.stdout.strip()
+
+
+def _emit(out: dict) -> int:
+    print(json.dumps(out), flush=True)
+    return 0
+
+
+def _error_json(msg: str, partial: dict | None = None) -> dict:
+    out = {"metric": "rpm_samples_per_sec_device", "value": 0.0,
+           "unit": "samples/s", "vs_baseline": 0.0, "error": msg}
+    if partial:
+        partial.pop("error", None)
+        out.update({k: v for k, v in partial.items()
+                    if k not in ("metric", "unit")})
+        # keep any real measured headline the child checkpointed
+        if partial.get("value"):
+            out["value"] = partial["value"]
+            out["vs_baseline"] = partial.get("vs_baseline", 0.0)
+    return out
+
+
+def main() -> int:
+    ok, diag = _preflight()
+    if not ok:
+        return _emit(_error_json("preflight: " + diag))
+    print(f"bench: preflight ok ({diag})", file=sys.stderr, flush=True)
+
+    res_path = tempfile.mktemp(prefix="rig_bench_res_", suffix=".json")
+    env = dict(os.environ)
+    env["BENCH_RES_PATH"] = res_path
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), _CHILD_FLAG],
+        env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+    try:
+        rc = proc.wait(timeout=BENCH_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        proc.terminate()
+        try:
+            proc.wait(timeout=60)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait()
+        rc = -1
+        msg = f"bench child hit hard timeout {BENCH_TIMEOUT_S:.0f}s"
+    else:
+        msg = f"bench child exited rc={rc}"
+
+    partial = None
+    try:
+        with open(res_path) as f:
+            partial = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        pass
+    finally:
+        try:
+            os.unlink(res_path)
+        except OSError:
+            pass
+
+    if rc == 0 and partial is not None and partial.get("complete"):
+        partial.pop("complete", None)
+        return _emit(partial)
+    if partial is not None:
+        partial.pop("complete", None)
+        return _emit(_error_json(msg + " (partial results attached)",
+                                 partial))
+    return _emit(_error_json(msg + " (no partial results)"))
+
+
+# --------------------------------------------------------------------------
+# child side: the actual measurements (checkpoints to BENCH_RES_PATH)
+# --------------------------------------------------------------------------
 
 def _timed_export(gen, warm_ids, timed_ids, **kw):
     """One untimed pass (stats/tiers/allocator warm), then a timed pass.
@@ -94,21 +227,44 @@ def _timed_export(gen, warm_ids, timed_ids, **kw):
     return len(metas) / dt, bps, over, metas
 
 
-def _run_once():
+class _Checkpointer:
+    """Builds the output JSON incrementally; persists after every stage so
+    a mid-run relay death still leaves the completed stages' numbers."""
+
+    def __init__(self, path: str | None):
+        self.path = path
+        self.out = {"metric": "rpm_samples_per_sec_device", "value": 0.0,
+                    "unit": "samples/s", "vs_baseline": 0.0}
+
+    def update(self, **fields):
+        self.out.update(fields)
+        self.save()
+
+    def save(self):
+        if not self.path:
+            return
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.out, f)
+        os.replace(tmp, self.path)
+
+
+def _run_rpm(ck: _Checkpointer):
     import numpy as np
     from reasoning_image_generation_tpu.utils.config import GenConfig
     from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
     from reasoning_image_generation_tpu.models.rpm.pipeline import sample_keys
 
     out_dir = tempfile.mkdtemp(prefix="rig_bench_")
-    res = {"skipped_stages": []}
+    skipped = []
     bench_t0 = time.time()
 
     def over_budget(stage):
         if time.time() - bench_t0 > BENCH_BUDGET_S:
             print(f"bench: budget exceeded, skipping {stage}",
                   file=sys.stderr, flush=True)
-            res["skipped_stages"].append(stage)
+            skipped.append(stage)
+            ck.update(skipped_stages=list(skipped))
             return True
         return False
 
@@ -135,9 +291,11 @@ def _run_once():
         # FULL batch (with only N_WARM ids the 9-leaf groups are all
         # ragged and padding gets billed as dead time, ~2x understatement).
         print("bench: device-only run...", file=sys.stderr, flush=True)
-        res["device_sps"] = gen.measure_device_rate(ids2, iters=10)
-        res["device_sps_blocking"] = gen.measure_device_rate(
-            ids2, iters=10, blocking=True)
+        device_sps = gen.measure_device_rate(ids2, iters=10)
+        ck.update(value=round(device_sps, 3),
+                  vs_baseline=round(device_sps / REFERENCE_BASELINE_SPS, 2))
+        ck.update(device_sps_blocking=round(
+            gen.measure_device_rate(ids2, iters=10, blocking=True), 3))
 
         # quantify the link: raw device->host MB/s for one batch's images
         leaf, entries = next(iter(gen._sample_assignments(ids).items()))
@@ -151,7 +309,8 @@ def _run_once():
         t0 = time.time()
         nbytes = sum(np.asarray(out[k]).nbytes
                      for k in ("state_imgs", "option_imgs", "grid_img"))
-        res["link_mbps"] = nbytes / max(time.time() - t0, 1e-9) / 1e6
+        link_mbps = nbytes / max(time.time() - t0, 1e-9) / 1e6
+        ck.update(host_link_mbps=round(link_mbps, 2))
         gen.close()
 
         idsk = list(range(10_000, 10_000 + N_BASELINE))
@@ -166,8 +325,12 @@ def _run_once():
                          sparse_transfer=True, grid_only=True)
         gen3 = RPMGeneratorTPU(cfg3)
         gen3.warmup(ids + ids2)
-        (res["e2e_grid_only_sps"], res["grid_bytes_per_sample"],
-         res["grid_overflow_frames"], _) = _timed_export(gen3, ids, ids2)
+        g_sps, g_bps, g_over, _ = _timed_export(gen3, ids, ids2)
+        ck.update(e2e_grid_only_sps=round(g_sps, 3),
+                  grid_bytes_per_sample=round(g_bps),
+                  grid_only_sps_at_10mbps=round(
+                      min(device_sps, 10e6 / max(g_bps, 1)), 1),
+                  grid_overflow_frames=g_over)
 
         # timed run 3 — the literal BASELINE scenario, grid-only:
         # ~1k samples, dedup on (reference README.md:8; <10 s target)
@@ -176,17 +339,19 @@ def _run_once():
         t0 = time.time()
         metas = gen3.generate_ids(idsk, dedup=True)
         gen3._pool.drain()
-        res["baseline_1k_grid_s"] = time.time() - t0
-        res["baseline_1k_grid_kept"] = sum(
-            1 for m in metas if not m.get("duplicate") and not m.get("error"))
+        ck.update(
+            baseline_1k_grid_s=round(time.time() - t0, 2),
+            baseline_1k_grid_kept=sum(
+                1 for m in metas
+                if not m.get("duplicate") and not m.get("error")))
         gen3.close()
         shutil.rmtree(out_dir + "_g", ignore_errors=True)
 
         # timed run 4 — end-to-end full export (all state/option/grid PNGs
         # + meta/coco JSON): the byte-heavy stages, budget-guarded.
-        slow_link = res["link_mbps"] < SLOW_LINK_MBPS
+        slow_link = link_mbps < SLOW_LINK_MBPS
         if over_budget("e2e_full"):
-            return res
+            return skipped
         print("bench: e2e full-export run...", file=sys.stderr, flush=True)
         cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
                          category_weights=dict(BENCH_WEIGHTS),
@@ -194,12 +359,18 @@ def _run_once():
         gen2 = RPMGeneratorTPU(cfg2)
         timed2 = ids2[:288] if slow_link else ids2
         gen2.warmup(ids + timed2)
-        (res["e2e_sps"], res["e2e_bytes_per_sample"],
-         res["e2e_overflow_frames"], _) = _timed_export(gen2, ids, timed2)
+        e_sps, e_bps, e_over, _ = _timed_export(gen2, ids, timed2)
+        ck.update(e2e_samples_per_sec=round(e_sps, 3),
+                  e2e_vs_baseline=round(e_sps / REFERENCE_BASELINE_SPS, 2),
+                  e2e_bytes_per_sample=round(e_bps),
+                  e2e_sps_at_10mbps=round(
+                      min(device_sps, 10e6 / max(e_bps, 1)), 1),
+                  e2e_overflow_frames=e_over)
 
         # timed run 5 — BASELINE scenario, full export
         if slow_link:
-            res["skipped_stages"].append("baseline_1k_full(slow_link)")
+            skipped.append("baseline_1k_full(slow_link)")
+            ck.update(skipped_stages=list(skipped))
         elif not over_budget("baseline_1k_full"):
             print("bench: 1k dedup full-export run...", file=sys.stderr,
                   flush=True)
@@ -207,20 +378,22 @@ def _run_once():
             t0 = time.time()
             metas = gen2.generate_ids(idsk, dedup=True)
             gen2._pool.drain()
-            res["baseline_1k_full_s"] = time.time() - t0
-            res["baseline_1k_full_bytes_per_sample"] = (
-                (gen2.transfer_bytes - b0) / N_BASELINE)
-            res["baseline_1k_full_kept"] = sum(
-                1 for m in metas
-                if not m.get("duplicate") and not m.get("error"))
+            ck.update(
+                baseline_1k_full_s=round(time.time() - t0, 2),
+                baseline_1k_full_bytes_per_sample=round(
+                    (gen2.transfer_bytes - b0) / N_BASELINE),
+                baseline_1k_full_kept=sum(
+                    1 for m in metas
+                    if not m.get("duplicate") and not m.get("error")))
         gen2.close()
         shutil.rmtree(out_dir + "_s", ignore_errors=True)
-        return res
+        return skipped
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
 
 
-def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
+def _run_multigraph(ck: _Checkpointer, n_batches: int = 3, B: int = 8,
+                    dpi: int = 200):
     """Multigraph (single-image) pipeline throughput: device imgs/s
     (latency-amortized) and steady-state e2e imgs/s incl. PNG+JSON export
     at dpi 200 (the reference's second pipeline,
@@ -252,6 +425,8 @@ def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
         imgs = render(batch, dpi=dpi)
     _ = np.asarray(imgs.reshape(-1)[0])
     device_ips = B * iters / (time.perf_counter() - t0)
+    ck.update(mg_imgs_per_sec_device=round(device_ips, 3),
+              mg_vs_baseline=round(device_ips / REFERENCE_MG_BASELINE_IPS, 2))
 
     print("bench: multigraph e2e run...", file=sys.stderr, flush=True)
     out_dir = tempfile.mkdtemp(prefix="rig_bench_mg_")
@@ -276,82 +451,117 @@ def _run_multigraph(n_batches: int = 3, B: int = 8, dpi: int = 200):
         n = run_batches("t", 1000)
         e2e_ips = n / (time.time() - t0)
         bpi = (gen.transfer_bytes - b0) / n
+        ck.update(mg_e2e_imgs_per_sec=round(e2e_ips, 3),
+                  mg_bytes_per_img=round(bpi))
     finally:
         gen.close()
         shutil.rmtree(out_dir, ignore_errors=True)
-    return device_ips, e2e_ips, bpi
 
 
-def main():
+def _run_combined_baseline(ck: _Checkpointer, n_rpm: int | None = None,
+                           n_mg: int = 100):
+    """The full-dataset BASELINE scenario in ONE timed window: ~1k RPM
+    sequence puzzles (grid export, corpus dedup) + ~100 multigraph
+    single-image samples (corpus dedup) — the reference's ≈1,000-sample
+    dataset claim (reference README.md:8) spans both pipelines."""
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+
+    print("bench: combined-dataset 1k run...", file=sys.stderr, flush=True)
+    out_dir = tempfile.mkdtemp(prefix="rig_bench_ds_")
+    n_rpm = n_rpm if n_rpm is not None else N_BASELINE
+    try:
+        cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
+                        category_weights=dict(BENCH_WEIGHTS),
+                        sparse_transfer=True, grid_only=True)
+        rgen = RPMGeneratorTPU(cfg)
+        mgen = GeometryGeneratorTPU()
+        # warm both (compiles + tiers) outside the timed window
+        rgen.warmup(list(range(64)))
+        rgen.generate_ids(list(range(64)), dedup=True)
+        rgen._pool.drain()
+        mg_ids = list(range(n_mg))
+        mg_modes = [["nested", "adjacent", "intersecting", "random"][i % 4]
+                    for i in range(n_mg)]
+        png = [os.path.join(out_dir, f"w{i}_{m}.png")
+               for i, m in zip(mg_ids, mg_modes)]
+        js = [os.path.join(out_dir, f"w{i}_{m}.json")
+              for i, m in zip(mg_ids, mg_modes)]
+        mgen.generate_batches(mg_ids[:16], mg_modes[:16], png[:16], js[:16],
+                              dpi=200, batch_size=8, dedup=True)
+        mgen._pool.drain()
+
+        t0 = time.time()
+        metas = rgen.generate_ids(
+            list(range(20_000, 20_000 + n_rpm)), dedup=True)
+        png = [os.path.join(out_dir, f"t{i}_{m}.png")
+               for i, m in zip(mg_ids, mg_modes)]
+        js = [os.path.join(out_dir, f"t{i}_{m}.json")
+              for i, m in zip(mg_ids, mg_modes)]
+        recs = mgen.generate_batches(mg_ids, mg_modes, png, js,
+                                     dpi=200, batch_size=8, dedup=True)
+        rgen._pool.drain()
+        mgen._pool.drain()
+        wall = time.time() - t0
+        kept_rpm = sum(1 for m in metas
+                       if not m.get("duplicate") and not m.get("error"))
+        kept_mg = sum(1 for r in recs if not getattr(r, "duplicate", False))
+        ck.update(dataset_wall_s=round(wall, 2),
+                  dataset_kept=kept_rpm + kept_mg,
+                  dataset_n=n_rpm + n_mg)
+        rgen.close()
+        mgen.close()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def child_main() -> int:
+    ck = _Checkpointer(os.environ.get("BENCH_RES_PATH"))
     from reasoning_image_generation_tpu.cli import enable_compilation_cache
     enable_compilation_cache()
+
     # the remote-compile service in this environment occasionally drops
-    # connections; retry the whole attempt rather than report nothing
-    last_err = None
-    for attempt in range(3):
+    # connections; retry the RPM section once rather than report nothing
+    skipped = []
+    for attempt in range(2):
         try:
-            res = _run_once()
+            skipped = _run_rpm(ck)
             break
         except Exception as e:  # pragma: no cover
-            last_err = e
             import traceback
             traceback.print_exc()
-            print(f"bench: attempt {attempt} failed: {e}", file=sys.stderr,
-                  flush=True)
+            print(f"bench: rpm attempt {attempt} failed: {e}",
+                  file=sys.stderr, flush=True)
+            ck.update(rpm_error=str(e)[:300])
             time.sleep(10)
-    else:
-        raise last_err
 
     try:
-        mg_device_ips, mg_e2e_ips, mg_bpi = _run_multigraph()
+        _run_multigraph(ck)
     except Exception as e:  # pragma: no cover
         print(f"bench: multigraph failed: {e}", file=sys.stderr, flush=True)
-        mg_device_ips = mg_e2e_ips = mg_bpi = 0.0
+        ck.update(mg_imgs_per_sec_device=0.0, mg_e2e_imgs_per_sec=0.0,
+                  mg_bytes_per_img=0, mg_vs_baseline=0.0)
 
-    def proj_10mbps(bytes_per_sample):
-        # link-saturated rate at a nominal 10 MB/s relay, capped by the
-        # measured device rate: the relay-weather-invariant e2e figure
-        return min(res["device_sps"], 10e6 / max(bytes_per_sample, 1))
+    try:
+        _run_combined_baseline(ck)
+    except Exception as e:  # pragma: no cover
+        import traceback
+        traceback.print_exc()
+        print(f"bench: combined baseline failed: {e}", file=sys.stderr,
+              flush=True)
+        skipped = list(skipped or []) + ["combined_dataset(error)"]
+        ck.update(skipped_stages=skipped)
 
-    out = {
-        "metric": "rpm_samples_per_sec_device",
-        "value": round(res["device_sps"], 3),
-        "unit": "samples/s",
-        "vs_baseline": round(res["device_sps"] / REFERENCE_BASELINE_SPS, 2),
-        "device_sps_blocking": round(res["device_sps_blocking"], 3),
-        "host_link_mbps": round(res["link_mbps"], 2),
-        "mg_imgs_per_sec_device": round(mg_device_ips, 3),
-        "mg_e2e_imgs_per_sec": round(mg_e2e_ips, 3),
-        "mg_bytes_per_img": round(mg_bpi),
-        "mg_vs_baseline": round(
-            mg_device_ips / REFERENCE_MG_BASELINE_IPS, 2),
-    }
-    if "e2e_grid_only_sps" in res:
-        out["e2e_grid_only_sps"] = round(res["e2e_grid_only_sps"], 3)
-        out["grid_bytes_per_sample"] = round(res["grid_bytes_per_sample"])
-        out["grid_only_sps_at_10mbps"] = round(
-            proj_10mbps(res["grid_bytes_per_sample"]), 1)
-        out["grid_overflow_frames"] = res["grid_overflow_frames"]
-    if "baseline_1k_grid_s" in res:
-        out["baseline_1k_grid_s"] = round(res["baseline_1k_grid_s"], 2)
-        out["baseline_1k_grid_kept"] = res["baseline_1k_grid_kept"]
-    if "e2e_sps" in res:
-        out["e2e_samples_per_sec"] = round(res["e2e_sps"], 3)
-        out["e2e_vs_baseline"] = round(
-            res["e2e_sps"] / REFERENCE_BASELINE_SPS, 2)
-        out["e2e_bytes_per_sample"] = round(res["e2e_bytes_per_sample"])
-        out["e2e_sps_at_10mbps"] = round(
-            proj_10mbps(res["e2e_bytes_per_sample"]), 1)
-        out["e2e_overflow_frames"] = res["e2e_overflow_frames"]
-    if "baseline_1k_full_s" in res:
-        out["baseline_1k_full_s"] = round(res["baseline_1k_full_s"], 2)
-        out["baseline_1k_full_kept"] = res["baseline_1k_full_kept"]
-        out["baseline_1k_full_bytes_per_sample"] = round(
-            res["baseline_1k_full_bytes_per_sample"])
-    if res.get("skipped_stages"):
-        out["skipped_stages"] = res["skipped_stages"]
-    print(json.dumps(out))
+    ck.update(complete=True)
+    out = dict(ck.out)
+    out.pop("complete", None)
+    print(json.dumps(out), flush=True)
+    return 0
 
 
 if __name__ == "__main__":
+    if _CHILD_FLAG in sys.argv[1:]:
+        sys.exit(child_main())
     sys.exit(main())

@@ -184,6 +184,10 @@ def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    # the axon plugin ignores the JAX_PLATFORMS env var; honor it here so
+    # JAX_PLATFORMS=cpu works (and a dead TPU relay can be escaped)
+    from .utils.backend import apply_platform_env
+    apply_platform_env()
     enable_compilation_cache()
     if args.coordinator:
         raise SystemExit(

@@ -57,6 +57,8 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     from ...cli import enable_compilation_cache
+    from ...utils.backend import apply_platform_env
+    apply_platform_env()  # the axon plugin ignores the env var form
     enable_compilation_cache()
     generate_all(args.n, args.out_dir, args.global_scale, args.dpi,
                  tuple(args.modes.split(",")), args.batch_size, args.seed)

@@ -93,10 +93,9 @@ class GeometryGeneratorTPU:
         self.transfer_bytes: int = 0
         self.generation_history: List[Dict] = []
         if renderer == "auto":
-            import jax
-            plat = jax.devices()[0].platform.lower()
-            renderer = ("pallas" if plat in ("tpu", "axon") or
-                        "tpu" in str(jax.devices()[0]).lower() else "jnp")
+            # fail-fast probe: a dead TPU relay must error, not hang
+            from ...utils.backend import detect_platform
+            renderer = "pallas" if detect_platform() == "tpu" else "jnp"
         self.renderer = renderer
         self.mesh = self._maybe_make_mesh()
         # AOT executable cache (utils/aot.py): scene batches are fixed-shape
@@ -114,6 +113,8 @@ class GeometryGeneratorTPU:
         renderer runs under shard_map with zero collectives."""
         import jax
         from ...parallel.mesh import make_mesh
+        from ...utils.backend import devices_or_raise
+        devices_or_raise()  # fail-fast on a dead TPU relay (round-3 mode)
         n = len(jax.local_devices())
         return make_mesh(n) if n > 1 else None
 

@@ -111,9 +111,13 @@ class RPMGeneratorTPU:
         first cross-DCN collective."""
         import jax
         from ...parallel.mesh import make_mesh
+        from ...utils.backend import devices_or_raise
         want = getattr(self.cfg, "use_mesh", "auto")
         if want is False:
             return None
+        # fail-fast: this is the generator's first backend touch, and a
+        # dead TPU relay makes bare backend init hang forever (round-3)
+        devices_or_raise()
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "RPMGeneratorTPU does not run under a multi-process JAX "

@@ -254,10 +254,10 @@ class LeafPipeline:
 
         backend = getattr(cfg, "renderer", "auto")
         if backend == "auto":
-            plat = jax.devices()[0].platform.lower()
-            on_tpu = plat in ("tpu", "axon") or "tpu" in str(jax.devices()[0]).lower()
+            # fail-fast probe: a dead TPU relay must error, not hang
+            from ...utils.backend import detect_platform
             # the Mosaic kernel pads any W/H up to its tile grid and crops
-            backend = "pallas" if on_tpu else "jnp"
+            backend = "pallas" if detect_platform() == "tpu" else "jnp"
         use_pallas = backend == "pallas"
 
         def batch_fn(keys, use_grid):

@@ -63,7 +63,10 @@ def _angle_table():
         tab[i, :len(allowed)] = allowed
         tab[i, len(allowed):] = allowed[0]
         cnt[i] = len(allowed)
-    return jnp.asarray(tab), jnp.asarray(cnt)
+    # numpy, not jnp: module-level device arrays initialize the backend
+    # at import time (hangs forever on a dead TPU relay); traced use
+    # sites lift them with jnp.asarray
+    return tab, cnt
 
 
 ANGLE_TAB, ANGLE_CNT = _angle_table()
@@ -196,7 +199,8 @@ def init_rotate(key, init_state, use_grid, W, H, grid_size=3):
     ok = init_state.valid & (init_state.kind != CIRCLE)
     idx = _rand_pick_valid(k1, ok)
     kind = init_state.kind[idx]
-    delta = _choice(k2, ANGLE_TAB[kind], ANGLE_CNT[kind])
+    delta = _choice(k2, jnp.asarray(ANGLE_TAB)[kind],
+                    jnp.asarray(ANGLE_CNT)[kind])
     return RotateParams(idx, delta)
 
 
@@ -352,7 +356,8 @@ def step_transform_many(prev, cur, p: TransformManyParams, key, i, use_grid,
         # (the reference re-randomizes the delta every application,
         # src/rules.py:645-652)
         kind = st.kind[e]
-        snapped = _choice(keys[e], TM_ANGLE_TAB[kind], TM_ANGLE_CNT[kind])
+        snapped = _choice(keys[e], jnp.asarray(TM_ANGLE_TAB)[kind],
+                           jnp.asarray(TM_ANGLE_CNT)[kind])
         delta = jnp.where(kind == CIRCLE, p.rot_delta, snapped)
         new_angle = jnp.mod(st.angle[e] + delta, 360.0)
         th = jnp.deg2rad(delta)
@@ -531,13 +536,15 @@ class TraverseSeqParams(NamedTuple):
     seq_len: jnp.ndarray  # i32 []
 
 
-_TRAVERSE_KINDS = jnp.asarray([KIND_ID[k] for k in
-                               ("square", "circle", "triangle", "diamond", "star")])
+# numpy at module scope (a jnp constant would device_put at import and
+# hang on a dead TPU relay); lifted to device at trace time
+_TRAVERSE_KINDS = np.asarray([KIND_ID[k] for k in
+                              ("square", "circle", "triangle", "diamond", "star")])
 
 
 def init_traverse_sequence(key, init_state, use_grid, W, H, grid_size=3,
                            seq_len: int = 3):
-    fill = _TRAVERSE_KINDS[jax.random.randint(key, (MAXSEQ,), 0, 5)]
+    fill = jnp.asarray(_TRAVERSE_KINDS)[jax.random.randint(key, (MAXSEQ,), 0, 5)]
     seq = fill.at[0].set(init_state.kind[0]).at[1].set(init_state.kind[1])
     return TraverseSeqParams(seq, jnp.asarray(seq_len))
 

@@ -21,13 +21,16 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...utils.config import KIND_ID, SHAPE_KINDS
 from ...utils.state import ElementState, empty_state, recompute_bbox_from_center
 
 NKINDS = len(SHAPE_KINDS)
 CIRCLE = KIND_ID["circle"]
-ANGLE_CHOICES = jnp.asarray([0.0, 45.0, 90.0, 135.0, 180.0])
+# numpy at module scope (a jnp constant would device_put at import and
+# hang on a dead TPU relay); lifted to device at trace time
+ANGLE_CHOICES = np.asarray([0.0, 45.0, 90.0, 135.0, 180.0], np.float32)
 
 
 def sample_prototype(key, W: int, H: int, max_elems: int,
@@ -118,7 +121,7 @@ def sample_prototype(key, W: int, H: int, max_elems: int,
     kind = jax.random.randint(k_kind, (E,), 0, NKINDS)
     fill = jax.random.uniform(k_fill, (E,)) < (2.0 / 3.0)
     stroke = jax.random.randint(k_stroke, (E,), 1, 4).astype(jnp.float32)
-    angle = ANGLE_CHOICES[jax.random.randint(k_angle, (E,), 0, 5)]
+    angle = jnp.asarray(ANGLE_CHOICES)[jax.random.randint(k_angle, (E,), 0, 5)]
     angle = jnp.where(kind == CIRCLE, 0.0, angle)
     color = jnp.floor(jax.random.uniform(k_color, (E, 3), minval=30.0, maxval=220.0))
 

@@ -34,7 +34,10 @@ def _dct_matrix(n: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
-_DCT = jnp.asarray(_dct_matrix(HASH_SIDE))
+# host-side constant: a module-level jnp.asarray would device_put at
+# import time, initializing the backend before any fail-fast guard runs
+# (a dead TPU relay then hangs every import of this package)
+_DCT = _dct_matrix(HASH_SIDE)
 
 
 def phash(img: jnp.ndarray) -> jnp.ndarray:
@@ -43,7 +46,8 @@ def phash(img: jnp.ndarray) -> jnp.ndarray:
                    jnp.asarray([0.299, 0.587, 0.114], jnp.float32))
     small = jax.image.resize(gray, (HASH_SIDE, HASH_SIDE), "linear",
                              antialias=True)
-    freq = _DCT @ small @ _DCT.T
+    dct = jnp.asarray(_DCT)
+    freq = dct @ small @ dct.T
     block = freq[:LOW, :LOW].reshape(-1)
     med = jnp.median(block)
     bits = (block > med).astype(jnp.uint8).reshape(LOW, LOW)

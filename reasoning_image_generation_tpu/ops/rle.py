@@ -191,7 +191,10 @@ def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
 
 PAL_K = 255          # palette entries per frame; index 255 = escape marker
 ESC_MARK = 255
-_PAL_SENTINEL = jnp.uint32(0xFFFFFFFF)   # sorts past every 24-bit color
+# numpy scalar, not jnp.uint32(...): a module-level device scalar
+# would initialize the backend at import time (hangs on a dead TPU
+# relay); np.uint32 carries the dtype without a device_put
+_PAL_SENTINEL = np.uint32(0xFFFFFFFF)   # sorts past every 24-bit color
 
 
 def palettize_frame_esc(rgb: jnp.ndarray, count: jnp.ndarray):

@@ -27,7 +27,9 @@ import numpy as np
 BS = 8  # block side
 
 # MSB-first bit weights, matching np.unpackbits(bitorder='big')
-_BIT_W = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+# numpy, not jnp: a module-level device array would initialize the
+# backend at import time (hangs forever on a dead TPU relay)
+_BIT_W = np.asarray([128, 64, 32, 16, 8, 4, 2, 1], np.uint8)
 
 
 def n_blocks(H: int, W: int) -> int:

@@ -24,6 +24,8 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     the generators feed host numpy batches and fetch coalesced blobs,
     which requires fully-addressable arrays — a mesh spanning another
     host's chips could neither be fed nor read from here."""
+    from ..utils.backend import devices_or_raise
+    devices_or_raise()  # fail-fast if the TPU relay is dead
     devs = jax.local_devices()
     n = n_devices or len(devs)
     return Mesh(np.asarray(devs[:n]), (axis,))
@@ -60,8 +62,9 @@ def make_hybrid_mesh(host_axis: str = "host", data_axis: str = "data") -> Mesh:
     several devices: devices are folded into a 1 x n mesh so the same
     PartitionSpecs compile (and the CPU test mesh exercises the layout).
     """
+    from ..utils.backend import devices_or_raise
+    devs = devices_or_raise()  # fail-fast if the TPU relay is dead
     n_proc = jax.process_count()
-    devs = jax.devices()
     per_host = len(devs) // max(1, n_proc)
     grid = np.asarray(devs[:n_proc * per_host]).reshape(n_proc, per_host)
     return Mesh(grid, (host_axis, data_axis))

@@ -70,7 +70,8 @@ def _env_fingerprint() -> str:
     import jax
     import jaxlib
 
-    dev = jax.devices()[0]
+    from .backend import devices_or_raise
+    dev = devices_or_raise()[0]
     parts = (jax.__version__, jaxlib.version.__version__, dev.platform,
              getattr(dev, "device_kind", "?"), str(jax.device_count()))
     return hashlib.sha256("|".join(parts).encode()).hexdigest()[:16]
@@ -124,7 +125,8 @@ def load_or_compile(tag: str, jitted, avals,
     if not enabled:
         return None
     import jax
-    if (jax.devices()[0].platform == "cpu"
+    from .backend import devices_or_raise
+    if (devices_or_raise()[0].platform == "cpu"
             and not os.environ.get("RIG_AOT_CPU")):
         # XLA:CPU AOT payloads are machine-specific: on hosts whose
         # compiles run through a remote compile service with a different
@@ -145,8 +147,14 @@ def load_or_compile(tag: str, jitted, avals,
         try:
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
-            return se.deserialize_and_load(payload, in_tree, out_tree)
+            loaded = se.deserialize_and_load(payload, in_tree, out_tree)
+            _probe_execute(loaded, avals)
+            return loaded
         except Exception:
+            # covers both torn/garbage files and the measured XLA:CPU
+            # pathology where a deserialized executable loads fine but
+            # dies at dispatch with "Function <fusion> not found" —
+            # fall through to a fresh compile and overwrite the entry
             try:
                 os.unlink(path)
             except OSError:
@@ -165,6 +173,33 @@ def load_or_compile(tag: str, jitted, avals,
     except Exception:
         pass
     return compiled
+
+
+def _probe_execute(loaded, avals) -> None:
+    """Execute the deserialized executable once on zero-filled inputs and
+    block on the result.  Deserialization can SUCCEED and then fail at
+    dispatch ("Buffer Definition Event: Function <fusion> not found",
+    measured on the 8-device CPU backend depending on what else the
+    process compiled first) — a cheap probe call surfaces that here so
+    the caller falls back to a fresh compile instead of a run-time crash.
+    All pipeline programs are pure, so a zero-input call has no effects;
+    its cost (one tiny dispatch) is noise next to the trace+compile the
+    cache exists to skip."""
+    import jax
+    import numpy as np
+
+    try:
+        in_sh = loaded.input_shardings[0]
+    except Exception:
+        in_sh = jax.tree.map(lambda a: getattr(a, "sharding", None),
+                             tuple(avals))
+
+    def zero(a, s):
+        arr = np.zeros(a.shape, a.dtype)
+        return jax.device_put(arr, s) if s is not None else arr
+
+    args = jax.tree.map(zero, tuple(avals), tuple(in_sh))
+    jax.block_until_ready(loaded(*args))
 
 
 def clear() -> int:

@@ -39,7 +39,10 @@ def load_run_stats(name: str) -> dict:
         with open(os.path.join(cache_dir(), f"runstats_{name}.json"),
                   encoding="utf-8") as f:
             data = json.load(f)
-        return {str(k): int(v) for k, v in data.items()}
+        # floats, not int(): rle3 stats are per-frame AVERAGES; truncation
+        # would restart persisted tiers slightly below the observed value
+        # (the silent-bias family that caused the escape-burst cascade)
+        return {str(k): float(v) for k, v in data.items()}
     except Exception:
         return {}
 
@@ -52,7 +55,7 @@ def save_run_stats(name: str, stats: dict) -> None:
     try:
         merged = load_run_stats(name)
         for k, v in stats.items():
-            merged[k] = max(int(v), merged.get(k, 0))
+            merged[k] = max(float(v), merged.get(k, 0.0))
         os.makedirs(cache_dir(), exist_ok=True)
         path = os.path.join(cache_dir(), f"runstats_{name}.json")
         tmp = f"{path}.{os.getpid()}.tmp"

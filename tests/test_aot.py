@@ -30,7 +30,26 @@ def aot_sandbox(tmp_path, monkeypatch):
     # by a LATER process); same-process sandbox round-trips are safe, so
     # the tests force it on to pin the machinery
     monkeypatch.setenv("RIG_AOT_CPU", "1")
-    return tmp_path / "aot"
+    # Isolate the persistent XLA compilation cache as well: if an earlier
+    # test constructed a generator (which enables the real cache dir),
+    # lower().compile() here can return a REMOTE-compiled entry from a
+    # previous session whose machine features don't match this host, and
+    # serializing that into the sandbox fails at load (measured:
+    # "+prefer-no-gather is not supported on the host machine").
+    from jax._src import compilation_cache as cc
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", str(tmp_path / "xla"))
+    # the cache object binds its directory at first use, so if an earlier
+    # test already compiled through the real dir the update alone is a
+    # no-op — reset so the sandbox dir actually takes effect
+    cc.reset_cache()
+    # ...and drop in-memory executables: an earlier test may have loaded a
+    # remote-compiled persistent-cache entry for the same program, and the
+    # jit cache would hand it back here regardless of the cache-dir switch
+    jax.clear_caches()
+    yield tmp_path / "aot"
+    jax.config.update("jax_compilation_cache_dir", prev)
+    cc.reset_cache()
 
 
 def _mesh_jit(f):
