@@ -59,6 +59,15 @@ class ExportPool:
             self._futures.append(self._pool.submit(
                 write_png_rle3, path, frames, i, h, w, overlay))
 
+    def submit(self, fn, *args):
+        """Run an arbitrary host-side task on the pool (e.g. QC / feature
+        extraction that would otherwise serialize on the dispatch thread
+        while the device renders the next batch)."""
+        if self._pool is None:
+            fn(*args)
+        else:
+            self._futures.append(self._pool.submit(fn, *args))
+
     def submit_json(self, path: str, obj):
         def _write():
             with open(path, "w", encoding="utf-8") as f:

@@ -75,6 +75,31 @@ def _jsonable(obj):
     return obj
 
 
+def _finalize_record(rec: Dict, scene: Dict, bounds, dpi: int,
+                     params_save_path: Optional[str]) -> None:
+    """Pool task: fill in QC (+ geos features for multi-shape scenes),
+    then write the params JSON.  Runs on the export pool so the ~10 ms/
+    scene of feature geometry overlaps the next batch's device render
+    (the reference computes both synchronously per figure,
+    multigraph_generation/generator.py:554-563, multi_combinator.py:1086)."""
+    from .check import check_scene_inside, compute_scene_features
+    # render-time QC (reference multigraph_generation/check.py:82,
+    # printed at generator.py:554-563; recorded here instead)
+    rec["qc"] = check_scene_inside(scene, bounds, dpi=dpi)
+    if rec["shape_count"] > 1:
+        # pairwise tangency/crossing features — the reference's
+        # compute_geos_features (multi_combinator.py:114-533) dies on
+        # a math.lg10 typo; ours is functional
+        rec["geos_features"] = _jsonable(compute_scene_features(scene))
+    if params_save_path:
+        d = os.path.dirname(params_save_path)
+        if d:
+            ensure_dir(d)
+        import json
+        with open(params_save_path, "w", encoding="utf-8") as f:
+            json.dump(rec, f, ensure_ascii=False, indent=2)
+
+
 class GeometryGeneratorTPU:
     def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
                  log_level: str = "INFO", io_workers: int = 8,
@@ -104,6 +129,11 @@ class GeometryGeneratorTPU:
         # process skips the renderer's trace + lower + compile.
         self._aot_enabled = bool(aot)
         self._aot: Dict[str, object] = {}
+        # corpus-level pHash dedup (ops/phash.py::CorpusDedup), armed per
+        # generate_batches(dedup=True) run — the reference's ≈1,000-sample
+        # dataset claim (reference README.md:8) spans BOTH pipelines, so
+        # the single-image corpus filters semantic duplicates too
+        self._corpus = None
 
     @staticmethod
     def _maybe_make_mesh():
@@ -223,6 +253,9 @@ class GeometryGeneratorTPU:
                  center_on_canvas: bool = True) -> Dict:
         recs = self.generate_batch([seed if seed is not None else 0], [mode],
                                    [save_path], [params_save_path], dpi=dpi)
+        # preserve the reference API's synchronous contract: QC/features
+        # run on the pool, so the record is complete only after a drain
+        self._pool.drain()
         return recs[0]
 
     def generate_batch(self, seeds, modes, save_paths=None,
@@ -232,15 +265,26 @@ class GeometryGeneratorTPU:
 
     def generate_batches(self, seeds, modes, save_paths=None,
                          params_save_paths=None, dpi: int = 200,
-                         batch_size: int = 16, progress=None) -> List[Dict]:
+                         batch_size: int = 16, progress=None,
+                         dedup: bool = False,
+                         dedup_threshold: int = 4) -> List[Dict]:
         """Software-pipelined multi-batch driver.
 
         Batch k+1's host scene build and device render/pack run while
         batch k's transfer completes and its host tail (QC, geos
         features, PNG/JSON export submission) executes — the same
         one-deep pipeline the RPM generator uses.  `progress(done)` is
-        called after each finished batch."""
+        called after each finished batch.
+
+        With ``dedup=True`` every rendered scene is pHashed on device and
+        filtered against the run's corpus (ops/phash.py::CorpusDedup);
+        near-duplicates get a ``duplicate: True`` record and no PNG/JSON
+        artifacts."""
         n = len(seeds)
+        from ...ops.phash import CorpusDedup
+        self._corpus = (CorpusDedup(n, mesh=self.mesh,
+                                    threshold=dedup_threshold)
+                        if dedup else None)
         save_paths = save_paths or [None] * n
         params_save_paths = params_save_paths or [None] * n
         records: List[Dict] = []
@@ -259,6 +303,7 @@ class GeometryGeneratorTPU:
             records.extend(self._finish_batch(pending))
             if progress:
                 progress(len(records))
+        self._corpus = None  # scope the corpus to this run
         return records
 
     def _dispatch_batch(self, seeds, modes, save_paths, params_save_paths,
@@ -266,6 +311,12 @@ class GeometryGeneratorTPU:
         n = len(seeds)
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
         st = self._render_dispatch(batch, dpi)
+        if self._corpus is not None:
+            # device-resident pHash of the rendered batch; only the keep
+            # mask crosses the host link (resolved in _finish_batch)
+            from ...ops.phash import phash_batch
+            st["_keep_handle"] = self._corpus.submit(
+                phash_batch(st["imgs"]), n)
         st.update(seeds=seeds, modes=modes, dpi=dpi,
                   save_paths=save_paths or [None] * n,
                   params_save_paths=params_save_paths or [None] * n,
@@ -279,12 +330,12 @@ class GeometryGeneratorTPU:
         batch, metas, dpi = st["batch"], st["metas"], st["dpi"]
         n = len(seeds)
         frames, over, (H, W) = self._render_finish(st)
+        handle = st.get("_keep_handle")
+        keep = (self._corpus.resolve(handle) if handle is not None
+                else np.ones(n, bool))
 
-        from .check import check_scene_inside, compute_scene_features
         records = []
         for i in range(n):
-            scene_i = {k: v[i] for k, v in batch.items()}
-            qc = check_scene_inside(scene_i, self.bounds, dpi=dpi)
             rec = GenerationRecord({
                 "generation_id": str(uuid.uuid4()),
                 "timestamp": datetime.now().isoformat(),
@@ -294,16 +345,13 @@ class GeometryGeneratorTPU:
                 "bounds": list(self.bounds),
                 "global_scale": self.global_scale,
                 "shapes": [_shape_params_dict(m) for m in metas[i]["shapes"]],
-                # render-time QC (reference multigraph_generation/check.py:82,
-                # printed at generator.py:554-563; recorded here instead)
-                "qc": qc,
             })
-            if metas[i]["shape_count"] > 1:
-                # pairwise tangency/crossing features — the reference's
-                # compute_geos_features (multi_combinator.py:114-533) dies on
-                # a math.lg10 typo; ours is functional
-                rec["geos_features"] = _jsonable(
-                    compute_scene_features(scene_i))
+            if not keep[i]:
+                # near-duplicate of an earlier scene: record, don't export
+                rec["duplicate"] = True
+                self.generation_history.append(rec)
+                records.append(rec)
+                continue
             if save_paths[i]:
                 d = os.path.dirname(save_paths[i])
                 if d:
@@ -315,11 +363,13 @@ class GeometryGeneratorTPU:
                     # compacted rle3 stream (palette lookup in the worker)
                     self._pool.submit_png_rle3(save_paths[i], frames, i,
                                                H, W)
-            if params_save_paths[i]:
-                d = os.path.dirname(params_save_paths[i])
-                if d:
-                    ensure_dir(d)
-                self._pool.submit_json(params_save_paths[i], rec)
+            # QC + geos features are ~10 ms/scene of host work — off the
+            # dispatch thread so they overlap the next batch's device
+            # render; the params JSON is written by the same task AFTER
+            # the record is complete
+            scene_i = {k: v[i] for k, v in batch.items()}
+            self._pool.submit(_finalize_record, rec, scene_i, self.bounds,
+                              dpi, params_save_paths[i])
             self.generation_history.append(rec)
             records.append(rec)
         return records

@@ -302,28 +302,13 @@ class RPMGeneratorTPU:
                 else:
                     remaining.append(sid)
             sample_ids = remaining
-        self._dedup = dedup
-        self._dedup_threshold = dedup_threshold
-        # fixed-capacity corpus of kept pHashes, pre-sized for this run
-        # (device dedup needs static shapes; at most len(sample_ids)
-        # hashes can ever be kept, so sizing up front avoids the mid-run
-        # doubling recompile — 30-200 s on this compile service).  Power-
-        # of-2 quantization keeps the compiled-shape count logarithmic
-        # when generate_ids is called repeatedly with growing id lists.
-        cap = 4096
-        while cap < len(sample_ids):
-            cap *= 2
-        # single-device: corpus lives ON DEVICE and is advanced by one
-        # async dedup_append_step per batch (host fetches only the keep
-        # mask — see ops/phash.py); the mesh path keeps the replicated
-        # host buffer + sharded collective
-        self._dev_dedup = dedup and self.mesh is None
-        if self._dev_dedup:
-            import jax.numpy as jnp
-            self._corpus_dev = jnp.zeros((cap, 8), jnp.uint8)
-            self._count_dev = jnp.int32(0)
-        self._corpus_buf = np.zeros((cap, 8), np.uint8)
-        self._corpus_count = 0
+        # streaming corpus dedup (ops/phash.py::CorpusDedup): device-
+        # resident corpus single-chip, sharded collective on a mesh;
+        # pre-sized to this run so no mid-run recompile
+        from ...ops.phash import CorpusDedup
+        self._corpus = (CorpusDedup(len(sample_ids), mesh=self.mesh,
+                                    threshold=dedup_threshold)
+                        if dedup else None)
 
         # freeze tier choices for this whole run (stats continue updating
         # for the next call); see _tier_stats in __init__
@@ -371,7 +356,7 @@ class RPMGeneratorTPU:
             if "grid_img_packed" in out:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
-            codec = getattr(self.cfg, "transfer_codec", "rle2")
+            codec = getattr(self.cfg, "transfer_codec", "rle3")
             if codec == "rle3":
                 # batch-compact + palettize the run streams on device
                 # (ops/rle.py::compact_rle3) — outside the mesh-sharded
@@ -395,15 +380,9 @@ class RPMGeneratorTPU:
             # even shards and device residency)
             raw = {k: out[k] for k in skip if k in out}
             raw["grid_phash_full"] = out["grid_phash"]
-            if getattr(self, "_dev_dedup", False):
-                from ...ops.phash import dedup_append_step
-                keep_dev, self._corpus_dev, self._count_dev = \
-                    dedup_append_step(self._corpus_dev, self._count_dev,
-                                      out["grid_phash"],
-                                      np.int32(n_real),
-                                      threshold=self._dedup_threshold)
-                getattr(keep_dev, "copy_to_host_async", lambda: None)()
-                raw["_keep_dev"] = keep_dev
+            if self._corpus is not None:
+                raw["_keep_handle"] = self._corpus.submit(
+                    out["grid_phash"], n_real)
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -452,7 +431,7 @@ class RPMGeneratorTPU:
         frame that exceeds a shrunken capacity hits the existing raw-frame
         overflow fallback on decode, so an optimistic tier costs one extra
         gathered fetch, never correctness."""
-        codec = getattr(self.cfg, "transfer_codec", "rle2")
+        codec = getattr(self.cfg, "transfer_codec", "rle3")
         sizes = []
         for key in sorted(transfer):
             val = transfer[key]
@@ -521,40 +500,6 @@ class RPMGeneratorTPU:
                 k = f"{leaf}:{key}"
                 self._run_stats[k] = max(self._run_stats.get(k, 0), c)
 
-    def _dedup_mask(self, hashes_dev, n_real: int) -> np.ndarray:
-        """Corpus-level pHash dedup vs everything generated so far.
-
-        Realizes the reference README's claimed semantic-duplicate filter
-        (reference README.md:8) on device: the batch's pHashes (computed
-        inside the pipeline, 8 bytes/sample) are compared against the
-        replicated corpus buffer — through `sharded_dedup_mask`'s ICI
-        all_gather when a mesh is active, via the same jitted kernel
-        single-device otherwise.  Host work is appending kept hashes.
-        Returns keep mask [n_real]."""
-        from ...ops.phash import dedup_keep_mask_vs_corpus
-        from ...parallel.mesh import sharded_dedup_mask
-
-        while self._corpus_count + n_real > len(self._corpus_buf):
-            self._corpus_buf = np.concatenate(
-                [self._corpus_buf, np.zeros_like(self._corpus_buf)])
-        count = np.int32(self._corpus_count)
-        B = int(np.shape(hashes_dev)[0])
-        if self.mesh is not None and B % self.mesh.size == 0:
-            keep = sharded_dedup_mask(
-                self.mesh, hashes_dev, threshold=self._dedup_threshold,
-                corpus=self._corpus_buf, corpus_count=count)
-        else:
-            keep = dedup_keep_mask_vs_corpus(
-                self._corpus_buf, count, hashes_dev,
-                threshold=self._dedup_threshold)
-        keep = np.asarray(keep)[:n_real]
-        hashes = np.asarray(hashes_dev)[:n_real]
-        for i in range(n_real):
-            if keep[i]:
-                self._corpus_buf[self._corpus_count] = hashes[i]
-                self._corpus_count += 1
-        return keep
-
     def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
         import jax
         if isinstance(out, tuple):
@@ -584,7 +529,7 @@ class RPMGeneratorTPU:
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
-        codec = getattr(self.cfg, "transfer_codec", "rle2")
+        codec = getattr(self.cfg, "transfer_codec", "rle3")
         n_real = out.get("_n_real", len(chunk))
         # rle2 exports straight from the run stream (fastpng_write_rle):
         # no host pixel tensor is ever materialized — only frames that
@@ -669,15 +614,9 @@ class RPMGeneratorTPU:
         perms = np.asarray(out["perm"])
         correct = np.asarray(out["correct_index"])
 
-        if getattr(self, "_dedup", False):
-            if out.get("_keep_dev") is not None:
-                keep = np.asarray(out["_keep_dev"])[:len(chunk)]
-            else:
-                keep = self._dedup_mask(
-                    out.get("grid_phash_full", out["grid_phash"]),
-                    len(chunk))
-        else:
-            keep = np.ones(len(chunk), bool)
+        handle = out.get("_keep_handle")
+        keep = (self._corpus.resolve(handle) if handle is not None
+                else np.ones(len(chunk), bool))
         # per-sample grid pHash (16 hex chars) rides along in the meta so a
         # later merge can dedup ACROSS independent hosts without any
         # lockstep collective (cli.merge_host_indexes)

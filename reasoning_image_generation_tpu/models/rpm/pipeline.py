@@ -305,7 +305,7 @@ class LeafPipeline:
             # ('sparse') to ~15x ('rle') fewer bytes over the host link;
             # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
-                codec = getattr(cfg, "transfer_codec", "rle2")
+                codec = getattr(cfg, "transfer_codec", "rle3")
                 if codec in ("rle", "rle2", "rle3"):
                     # rle3 packs per-frame rle2 here; the batch compaction
                     # + palettization (ops/rle.py::compact_rle3) runs in
@@ -367,6 +367,7 @@ class LeafPipeline:
         (the package-source + env fingerprints live in utils/aot.py)."""
         import dataclasses
         import hashlib
+        import numpy as np
         d = dataclasses.asdict(self.cfg)
         d.pop("out_dir", None)
         d.pop("seed", None)  # keys are inputs; seed never enters the trace
@@ -376,6 +377,17 @@ class LeafPipeline:
             d[k] = getattr(self.cfg, k, None)
         d["_layout"] = (self.layout.grid_h,
                         self.frame_budget, self.grid_budget)
+        # the overlay/query-patch pixels are baked into the traced program
+        # as CONSTANTS; generator ctor args (show_labels/show_border) alter
+        # them without touching any GenConfig field or grid_h, so the tag
+        # must hash the actual content or a --no_labels run would load a
+        # stale labeled executable
+        lay_h = hashlib.sha256()
+        for arr in (self.layout.overlay_rgb_u8, self.layout.overlay_a8,
+                    self.layout.query_patch):
+            if arr is not None:
+                lay_h.update(np.ascontiguousarray(arr).tobytes())
+        d["_layout_content"] = lay_h.hexdigest()[:12]
         d["_mesh"] = (tuple(self.mesh.shape.items())
                       if self.mesh is not None else None)
         cfg_h = hashlib.sha256(

@@ -134,3 +134,80 @@ def dedup_images(imgs, threshold: int = 4):
     """Convenience: hashes + keep mask for a u8 image batch [N, H, W, 3]."""
     h = phash_batch(jnp.asarray(imgs))
     return h, dedup_keep_mask(h, threshold=threshold)
+
+
+class CorpusDedup:
+    """Streaming corpus-level dedup state shared by both pipelines
+    (models/rpm/generator.py, models/multigraph/generator.py).
+
+    Realizes the reference README's claimed semantic-duplicate filter
+    (reference README.md:8) across a whole run.  Two regimes:
+
+    - single device (``mesh=None``): the corpus lives ON DEVICE and is
+      advanced by one async `dedup_append_step` per batch — the host
+      fetches only the [B] keep mask (uploading the corpus or fetching
+      hashes per batch cost ~475 ms of small blocking transfers on the
+      dev relay).
+    - device mesh: hashes stay device-resident and sharded; the keep mask
+      is computed through `sharded_dedup_mask`'s ICI all_gather against a
+      replicated host-side corpus buffer, appended on host.
+
+    ``submit`` is called at dispatch time (pipelined ahead of the
+    transfer), ``resolve`` at flush time, in the same FIFO order.
+
+    The corpus buffer is fixed-capacity (static shapes keep one compiled
+    program across batches), pre-sized to the run's sample count and
+    power-of-2 quantized so repeated runs with growing id lists stay
+    logarithmic in compiled-shape count."""
+
+    def __init__(self, capacity_hint: int, mesh=None, threshold: int = 4):
+        cap = 4096
+        while cap < capacity_hint:
+            cap *= 2
+        self.mesh = mesh
+        self.threshold = int(threshold)
+        self.device_resident = mesh is None
+        if self.device_resident:
+            self._corpus_dev = jnp.zeros((cap, 8), jnp.uint8)
+            self._count_dev = jnp.int32(0)
+        self._buf = np.zeros((cap, 8), np.uint8)
+        self._count = 0
+
+    def submit(self, hashes_dev, n_real: int):
+        """Dispatch one batch's dedup; returns an opaque handle for
+        `resolve`.  `hashes_dev` is the device-resident [B, 8] u8 batch
+        (entries at index >= n_real are padding: never kept)."""
+        if self.device_resident:
+            keep_dev, self._corpus_dev, self._count_dev = dedup_append_step(
+                self._corpus_dev, self._count_dev, hashes_dev,
+                np.int32(n_real), threshold=self.threshold)
+            getattr(keep_dev, "copy_to_host_async", lambda: None)()
+            return ("dev", keep_dev, n_real)
+        return ("host", hashes_dev, n_real)
+
+    def resolve(self, handle) -> np.ndarray:
+        """Block on one submitted batch; returns the bool keep mask
+        [n_real].  Mesh-path batches also append kept hashes to the
+        replicated corpus here, so calls must match `submit` order."""
+        kind, val, n_real = handle
+        if kind == "dev":
+            return np.asarray(val)[:n_real].astype(bool)
+        from ..parallel.mesh import sharded_dedup_mask
+        hashes_dev = val
+        while self._count + n_real > len(self._buf):
+            self._buf = np.concatenate([self._buf, np.zeros_like(self._buf)])
+        count = np.int32(self._count)
+        B = int(np.shape(hashes_dev)[0])
+        if self.mesh is not None and B % self.mesh.size == 0:
+            keep = sharded_dedup_mask(
+                self.mesh, hashes_dev, threshold=self.threshold,
+                corpus=self._buf, corpus_count=count)
+        else:
+            keep = dedup_keep_mask_vs_corpus(
+                self._buf, count, hashes_dev, threshold=self.threshold)
+        keep = np.asarray(keep)[:n_real].astype(bool)
+        hashes = np.asarray(hashes_dev)[:n_real]
+        kept = hashes[keep]
+        self._buf[self._count:self._count + len(kept)] = kept
+        self._count += len(kept)
+        return keep

@@ -197,3 +197,18 @@ def test_mg_render_aot_parity(aot_sandbox):
     finally:
         gen_on.close()
         gen_off.close()
+
+
+def test_aot_tag_covers_layout_content():
+    """show_labels/show_border are generator ctor args (not GenConfig
+    fields) that alter the overlay constants baked into the traced
+    program — the AOT tag must separate them or a --no_labels run loads
+    a stale labeled executable."""
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.pipeline import LeafPipeline
+    cfg = GenConfig(out_dir="/tmp/aot_tag_t", canvas_size=(64, 64),
+                    batch_size=2)
+    tags = {LeafPipeline("平移", cfg, show_labels=sl,
+                         show_border=sb)._aot_tag(2)
+            for sl, sb in ((True, True), (False, True), (True, False))}
+    assert len(tags) == 3

@@ -221,3 +221,35 @@ def test_adjacent_point_and_edge_strategies():
     out_e = _try_edge_adjacency(cur, ref, [ref])
     if out_e is not None:
         assert not polys_overlap(out_e, ref)
+
+
+def test_generate_batches_dedup(tmp_path):
+    """Corpus dedup across the multigraph run: identical seeds+modes render
+    identical scenes, so the second half must be marked duplicate and
+    export no artifacts (reference README.md:8's dataset-level filter)."""
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+    gen = GeometryGeneratorTPU()
+    seeds = [1, 2, 3, 4, 1, 2, 3, 4]
+    modes = ["adjacent"] * 8
+    pngs = [str(tmp_path / f"{i}.png") for i in range(8)]
+    jss = [str(tmp_path / f"{i}.json") for i in range(8)]
+    recs = gen.generate_batches(seeds, modes, pngs, jss, dpi=TEST_DPI,
+                                batch_size=4, dedup=True)
+    # dedup is scoped to the generate_batches call: a fresh run with the
+    # same seeds keeps everything again
+    recs2 = gen.generate_batches(seeds[:4], modes[:4], dpi=TEST_DPI,
+                                 batch_size=4)
+    assert not any(r.get("duplicate") for r in recs2)
+    gen.close()
+    import os
+    assert len(recs) == 8
+    dups = [bool(r.get("duplicate")) for r in recs]
+    assert dups == [False] * 4 + [True] * 4
+    for i in range(4):
+        assert os.path.exists(pngs[i]) and os.path.exists(jss[i])
+        import json
+        saved = json.load(open(jss[i]))
+        assert "qc" in saved  # pool-side QC landed before the JSON write
+    for i in range(4, 8):
+        assert not os.path.exists(pngs[i]) and not os.path.exists(jss[i])

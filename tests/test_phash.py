@@ -1,5 +1,6 @@
 # test_phash.py — perceptual hash + dedup semantics.
 import numpy as np
+import jax.numpy as jnp
 
 from reasoning_image_generation_tpu.ops.phash import (
     phash_batch, hamming_matrix, dedup_keep_mask, dedup_images)
@@ -92,3 +93,37 @@ def test_dedup_append_step_matches_host_corpus():
     assert int(count_dev) == host_count
     np.testing.assert_array_equal(
         np.asarray(corpus_dev)[:host_count], host_buf[:host_count])
+
+
+def test_corpus_dedup_device_vs_mesh_paths():
+    """CorpusDedup (the streaming helper both generators share) must give
+    identical keep decisions on the device-resident path (mesh=None) and
+    the mesh/host path."""
+    from reasoning_image_generation_tpu.ops.phash import CorpusDedup
+    from reasoning_image_generation_tpu.parallel.mesh import make_mesh
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, (5, 8), np.uint8)
+    batches = [base[rng.integers(0, 5, 8)].copy() ^
+               (rng.random((8, 8)) < 0.04).astype(np.uint8)
+               for _ in range(3)]
+
+    dev = CorpusDedup(24, mesh=None, threshold=4)
+    mesh = CorpusDedup(24, mesh=make_mesh(), threshold=4)
+    for h in batches:
+        hd = jnp.asarray(h)
+        kd = dev.resolve(dev.submit(hd, 8))
+        km = mesh.resolve(mesh.submit(hd, 8))
+        np.testing.assert_array_equal(kd, km)
+    assert int(dev._count_dev) == mesh._count
+
+
+def test_corpus_dedup_padding_never_kept():
+    from reasoning_image_generation_tpu.ops.phash import CorpusDedup
+    rng = np.random.default_rng(3)
+    h = rng.integers(0, 256, (8, 8), np.uint8)
+    c = CorpusDedup(16, mesh=None, threshold=0)
+    keep = c.resolve(c.submit(jnp.asarray(h), 5))
+    assert keep.shape == (5,)
+    # resubmitting the same batch: all 5 live rows are now duplicates
+    keep2 = c.resolve(c.submit(jnp.asarray(h), 5))
+    assert not keep2.any()
