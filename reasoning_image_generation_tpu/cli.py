@@ -138,7 +138,8 @@ def _remove_sample_artifacts(meta: dict) -> None:
 
 
 def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
-                       num_hosts: int | None = None):
+                       num_hosts: int | None = None,
+                       run_id: str | None = None):
     """Merge per-host index shards (index_hostNN.json) into index.json;
     id-sorted like the reference's single index (reference src/cli.py:49-52).
 
@@ -147,7 +148,14 @@ def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
     treated as not-yet-present.  With `num_hosts`, the merge only happens
     once ALL shards 0..num_hosts-1 exist (returns None otherwise — the
     last host to finish performs it), and stale shards from a previous run
-    with a larger host count are ignored.
+    with a larger host count are ignored.  With `run_id`, shards stamped
+    with a DIFFERENT run id are likewise treated as not-yet-present: a
+    fast host rerunning into the same out_dir must not satisfy its merge
+    gate with another host's previous-run shard (and then delete fresh
+    samples as duplicates of stale hashes).  The CLI derives the id from
+    the run parameters, identical across the run's hosts with no
+    coordination; an identical rerun reuses the id, which is safe because
+    generation is deterministic in (seed, id).
 
     With `dedup_threshold`, additionally runs the corpus dedup ACROSS
     hosts: every meta carries its grid pHash, so the same greedy
@@ -168,9 +176,16 @@ def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
             continue  # stale shard from a previous, larger run
         try:
             with open(path, encoding="utf-8") as f:
-                shards[rank] = json.load(f)
+                data = json.load(f)
         except (json.JSONDecodeError, OSError):
             shards.pop(rank, None)  # unreadable == not yet present
+            continue
+        # {"run_id":…, "metas":[…]} (CLI) or a bare meta list (library use)
+        shard_run, metas = ((data.get("run_id"), data.get("metas", []))
+                            if isinstance(data, dict) else (None, data))
+        if run_id is not None and shard_run != run_id:
+            continue  # stale shard from a different run
+        shards[rank] = metas
     if num_hosts is not None and set(shards) != set(range(num_hosts)):
         return None  # another host will finish later and merge
     metas = [m for rank in sorted(shards) for m in shards[rank]]
@@ -179,6 +194,15 @@ def merge_host_indexes(out_dir: str, dedup_threshold: int | None = None,
         _merge_dedup(metas, dedup_threshold)
     write_index(out_dir, metas)
     return metas
+
+
+def _run_id(args) -> str:
+    """Deterministic id of one multi-host run: every host of the run
+    derives the same value from the shared launch parameters, so shard
+    stamping needs no cross-host coordination."""
+    return (f"seed{args.seed}-n{args.n}-h{args.num_hosts}-g{args.grid}"
+            f"-d{args.dedup_threshold if args.dedup else 'off'}"
+            f"-{'grid' if args.grid_only else 'full'}")
 
 
 def main(argv=None):
@@ -251,16 +275,21 @@ def main(argv=None):
     if args.num_hosts > 1:
         shard_path = os.path.join(args.out_dir,
                                   f"index_host{args.host_id:02d}.json")
-        # atomic publish: concurrent mergers never see a torn shard
+        # atomic publish: concurrent mergers never see a torn shard.  The
+        # run id stamps the shard so the merge gate can't be satisfied by
+        # a previous run's leftover (deterministic from the run params —
+        # identical on every host of this run, no coordination needed)
+        run_id = _run_id(args)
         tmp = shard_path + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(metas, f, ensure_ascii=False, indent=2)
+            json.dump({"run_id": run_id, "metas": metas},
+                      f, ensure_ascii=False, indent=2)
         os.replace(tmp, shard_path)
         # only the host that observes the complete shard set merges (the
         # others get None back); the merge itself is idempotent
         merge_host_indexes(args.out_dir,
                            args.dedup_threshold if args.dedup else None,
-                           num_hosts=args.num_hosts)
+                           num_hosts=args.num_hosts, run_id=run_id)
     else:
         write_index(args.out_dir, metas)
     dt = time.time() - t0

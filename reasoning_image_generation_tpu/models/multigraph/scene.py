@@ -567,9 +567,12 @@ def deform_edge(rng: random.Random, verts: np.ndarray,
 # multi-shape combinators (SDF/grid versions of the shapely searches)
 # ---------------------------------------------------------------------------
 
-def combine_nested(shapes: List[np.ndarray], scale_factor=0.4, min_size=0.25):
-    """Layer i scaled by scale_factor**i about its centroid, translated to
-    the outer centroid (multi_combinator.py:685-768)."""
+def combine_nested(shapes: List[np.ndarray], scale_factor=0.4, min_size=0.25,
+                   same_center: bool = True):
+    """Layer i scaled by scale_factor**i about its centroid; with
+    `same_center` (the default) every inner layer is then translated to
+    the outer centroid, otherwise each stays at its own centroid
+    (reference multi_combinator.py:685-768, target_centroid at :712)."""
     out = []
     outer_c = poly_centroid(shapes[0])
     for i, v in enumerate(shapes):
@@ -579,10 +582,26 @@ def combine_nested(shapes: List[np.ndarray], scale_factor=0.4, min_size=0.25):
         dims = sv.max(0) - sv.min(0)
         if max(dims) < min_size:
             sv = poly_centroid(sv) + (sv - poly_centroid(sv)) * (min_size / max(dims))
-        if i > 0:
+        if i > 0 and same_center:
             sv = sv + (outer_c - poly_centroid(sv))
         out.append(sv.astype(np.float32))
     return out
+
+
+def _poly_is_convex(poly: np.ndarray) -> bool:
+    """True when every (non-degenerate) turn has the same sign.  The
+    64-gon resampling leaves many near-collinear vertices, so turns below
+    1e-6 of the max are ignored."""
+    a = np.asarray(poly, np.float64)
+    b = np.roll(a, -1, 0)
+    c = np.roll(a, -2, 0)
+    cr = ((b[:, 0] - a[:, 0]) * (c[:, 1] - b[:, 1])
+          - (b[:, 1] - a[:, 1]) * (c[:, 0] - b[:, 0]))
+    m = float(np.abs(cr).max())
+    if m <= 0.0:
+        return True
+    s = cr[np.abs(cr) > 1e-6 * m]
+    return bool((s >= 0).all() or (s <= 0).all())
 
 
 def _poly_seg_distance(poly: np.ndarray, a, b) -> float:
@@ -601,45 +620,53 @@ def _try_point_adjacency(cur, ref, placed, spacing=0.0, gap_tol=1e-8):
     vertex sits `spacing` from that edge; first non-overlapping placement
     wins (reference multi_combinator.py:908-955).
 
-    Candidate pruning: the base shapes are convex, so for each ref edge
+    Candidate pruning: when BOTH shapes are convex, for each ref edge
     only ONE cur vertex can sit on it without cur crossing the edge's
     line — the support vertex along the edge's outward normal.  That cuts
     the V*E brute-force candidate set (the mg pipeline's measured host
-    bottleneck at ~67 ms/scene) to E analytic candidates; the overlap
-    check against every placed shape still guards each one."""
+    bottleneck at ~67 ms/scene) to E analytic candidates.  Sector shapes
+    spanning >180 deg (wedge_poly) are non-convex: the prune (and the
+    centroid-based normal flip) can miss placements the reference's
+    exhaustive vertex x edge search finds, so those fall back to the full
+    vertex loop.  The overlap check against every placed shape guards
+    each candidate either way."""
     a = np.asarray(ref, np.float64)
     b = np.concatenate([a[1:], a[:1]])
     ab = b - a
     ab2 = np.maximum((ab ** 2).sum(1), 1e-12)
     P = np.asarray(cur, np.float64)
     E = len(a)
-    # outward edge normals (away from the ref centroid)
-    n = np.stack([ab[:, 1], -ab[:, 0]], -1)
-    n /= np.maximum(np.hypot(n[:, 0], n[:, 1]), 1e-12)[:, None]
-    mid = (a + b) / 2.0
-    flip = ((mid - poly_centroid(a)) * n).sum(1) < 0
-    n[flip] *= -1.0
-    # support vertex of cur along each outward normal: the innermost
-    # vertex, so every other vertex lands strictly outside the edge line
-    p_idx = np.argmin(P @ n.T, axis=0)                      # [E]
+    if _poly_is_convex(cur) and _poly_is_convex(ref):
+        # outward edge normals (away from the ref centroid)
+        n = np.stack([ab[:, 1], -ab[:, 0]], -1)
+        n /= np.maximum(np.hypot(n[:, 0], n[:, 1]), 1e-12)[:, None]
+        mid = (a + b) / 2.0
+        flip = ((mid - poly_centroid(a)) * n).sum(1) < 0
+        n[flip] *= -1.0
+        # support vertex of cur along each outward normal: the innermost
+        # vertex, so every other vertex lands strictly outside the edge line
+        cand_vids = np.argmin(P @ n.T, axis=0)[:, None]     # [E, 1]
+    else:
+        cand_vids = np.tile(np.arange(len(P)), (E, 1))      # [E, V] full
     for e in range(E):
-        p = P[p_idx[e]]
-        t = float(np.clip(((p - a[e]) * ab[e]).sum() / ab2[e], 0.0, 1.0))
-        proj = a[e] + t * ab[e]
-        vec = proj - p
-        dist = float(np.hypot(vec[0], vec[1]))
-        needed = dist - spacing
-        if abs(needed) <= gap_tol:
-            if not any(polys_overlap(cur, q) for q in placed):
-                return cur
-            continue
-        if dist < 1e-12:
-            continue  # reference's degenerate edge-normal case
-        cand = (cur + (vec / dist * needed)).astype(np.float32)
-        if any(polys_overlap(cand, q) for q in placed):
-            continue
-        if abs(_poly_seg_distance(cand, a[e], b[e]) - spacing) <= 1e-4:
-            return cand
+        for vid in cand_vids[e]:
+            p = P[vid]
+            t = float(np.clip(((p - a[e]) * ab[e]).sum() / ab2[e], 0.0, 1.0))
+            proj = a[e] + t * ab[e]
+            vec = proj - p
+            dist = float(np.hypot(vec[0], vec[1]))
+            needed = dist - spacing
+            if abs(needed) <= gap_tol:
+                if not any(polys_overlap(cur, q) for q in placed):
+                    return cur
+                continue
+            if dist < 1e-12:
+                continue  # reference's degenerate edge-normal case
+            cand = (cur + (vec / dist * needed)).astype(np.float32)
+            if any(polys_overlap(cand, q) for q in placed):
+                continue
+            if abs(_poly_seg_distance(cand, a[e], b[e]) - spacing) <= 1e-4:
+                return cand
     return None
 
 
@@ -675,14 +702,18 @@ def _try_edge_adjacency(cur, ref, placed, spacing=0.0):
 
 
 def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
-                     sample_n: int = 60, ladder: int = 12):
-    """Touch-without-overlap placement.
+                     sample_n: int = 60, ladder: int = 12,
+                     spacing: float = 0.0):
+    """Touch-without-overlap placement (gap = `spacing`, default touch).
 
     Strategy order matches the reference (multi_combinator.py:812, 908-1047):
     pick 'edge' or 'point' adjacency at random, try that strategy's
     deterministic projection placement, and only fall back to the
     angle x distance-ladder sweep (whose shuffle uses the reference's fixed
-    Random(0) stream, multi_combinator.py:869) when it fails.
+    Random(0) stream, multi_combinator.py:869) when it fails.  `spacing`
+    follows the reference's keyword (multi_combinator.py:780): the sweep
+    accepts |dist - spacing| within tolerance (:1019-1029) and the final
+    snap closes the gap down to `spacing` instead of touch.
     """
     placed = [shapes[0]]
     for i in range(1, len(shapes)):
@@ -694,7 +725,7 @@ def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
         adjacency_type = rng.choice(["edge", "point"])
         strat = (_try_point_adjacency if adjacency_type == "point"
                  else _try_edge_adjacency)
-        direct = strat(cur, ref, placed)
+        direct = strat(cur, ref, placed, spacing=spacing)
         if direct is not None:
             placed.append(direct.astype(np.float32))
             continue
@@ -722,7 +753,11 @@ def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
                 over |= polys_overlap_batch(cands, p)
             dd = cands[:, :, None, :] - np.asarray(ref)[None, None, :, :]
             dmin = np.sqrt((dd ** 2).sum(-1)).min((1, 2))
-            ok = ~over & (dmin <= size_based * 0.02)
+            if spacing == 0.0:
+                near = dmin <= size_based * 0.02
+            else:  # reference multi_combinator.py:1028
+                near = np.abs(dmin - spacing) <= max(size_based * 0.02, 1e-3)
+            ok = ~over & near
             hit = np.nonzero(ok)[0]
             if hit.size:
                 best = cands[hit[0]]
@@ -741,19 +776,21 @@ def combine_adjacent(rng: random.Random, shapes: List[np.ndarray],
                 d *= 1.25
             else:
                 best = cur
-        # snap: binary-search the touch distance toward ref to close the gap
+        # snap: binary-search the distance toward ref to close the gap
+        # down to `spacing` (touch when 0)
         gap = poly_min_distance(best, ref)
-        if gap > 1e-4:
+        if gap - spacing > 1e-4:
             ref_c = poly_centroid(ref)
             dirn = ref_c - poly_centroid(best)
             nrm = np.hypot(*dirn)
             if nrm > 1e-9:
                 dirn = dirn / nrm
-                lo_t, hi_t = 0.0, gap
+                lo_t, hi_t = 0.0, gap - spacing
                 for _ in range(20):
                     mid = (lo_t + hi_t) / 2
                     cand = best + (dirn * mid).astype(np.float32)
-                    if any(polys_overlap(cand, p) for p in placed):
+                    if (any(polys_overlap(cand, p) for p in placed)
+                            or poly_min_distance(cand, ref) < spacing):
                         hi_t = mid
                     else:
                         lo_t = mid
@@ -800,13 +837,17 @@ def combine_intersecting(rng: random.Random, shapes: List[np.ndarray],
 # ---------------------------------------------------------------------------
 
 def build_scene(seed: int, mode: str = "random",
-                global_scale: float = 1.3) -> Tuple[Dict, Dict]:
+                global_scale: float = 1.3,
+                nested_same_center: bool = True,
+                adjacent_spacing: float = 0.0) -> Tuple[Dict, Dict]:
     """Sample one scene.  Returns (scene arrays, record metadata dict).
 
     mode: random (single shape w/ decoration or mask) |
           nested | adjacent | intersecting (multi-shape).
     Matches generator.py:496: shape_count = 1 if random else 2-3.
-    """
+    `nested_same_center`/`adjacent_spacing` expose the reference
+    combinators' keyword variants (multi_combinator.py:686,780); the
+    defaults match the reference generator's calls."""
     rng = random.Random(seed)
     b = _SceneBuilder()
     shape_count = 1 if mode == "random" else rng.randint(2, 3)
@@ -842,15 +883,20 @@ def build_scene(seed: int, mode: str = "random",
                 v = rotate_poly(v, rng.uniform(-180.0, 180.0))
             rotated.append(v)
         if combo == "nested":
-            placed = combine_nested(rotated)
+            placed = combine_nested(rotated, same_center=nested_same_center)
         elif combo == "adjacent":
-            placed = combine_adjacent(rng, rotated)
+            placed = combine_adjacent(rng, rotated,
+                                      spacing=adjacent_spacing)
         else:
             placed = combine_intersecting(rng, rotated)
         for i, v in enumerate(placed):
             b.add_shape(i, v, lw)
         for m in metas:
             m["combo_mode"] = combo
+            if combo == "nested":
+                m["same_center"] = bool(nested_same_center)
+            elif combo == "adjacent":
+                m["spacing"] = float(adjacent_spacing)
 
     # recenter everything to the canvas center
     # (generator.py:261-378 center_combined_shapes)
@@ -888,10 +934,10 @@ def build_scene(seed: int, mode: str = "random",
     return sc, record
 
 
-def build_scene_batch(seeds, modes, global_scale: float = 1.3):
+def build_scene_batch(seeds, modes, global_scale: float = 1.3, **scene_kw):
     scenes, records = [], []
     for s, m in zip(seeds, modes):
-        sc, rec = build_scene(int(s), m, global_scale)
+        sc, rec = build_scene(int(s), m, global_scale, **scene_kw)
         scenes.append(sc)
         records.append(rec)
     batch = {k: np.stack([s[k] for s in scenes]) for k in scenes[0]}

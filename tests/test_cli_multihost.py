@@ -18,8 +18,11 @@ def test_two_host_cli_shards_and_merged_index(tmp_path):
 
     s0 = json.load(open(os.path.join(out, "index_host00.json")))
     s1 = json.load(open(os.path.join(out, "index_host01.json")))
-    assert [m["id"] for m in s0] == [0, 2]
-    assert [m["id"] for m in s1] == [1, 3]
+    # shards are stamped with the run id so a rerun's merge gate can't
+    # be satisfied by stale leftovers
+    assert s0["run_id"] == s1["run_id"]
+    assert [m["id"] for m in s0["metas"]] == [0, 2]
+    assert [m["id"] for m in s1["metas"]] == [1, 3]
 
     idx = json.load(open(os.path.join(out, "index.json")))
     assert [m["id"] for m in idx] == [0, 1, 2, 3]
@@ -133,3 +136,26 @@ def test_merge_dedup_matches_scalar_oracle(tmp_path):
             kept.append(hb)
     got = {m["id"]: m.get("duplicate", False) for m in merged}
     assert got == expect
+
+
+def test_merge_gate_ignores_stale_run_shards(tmp_path):
+    """A shard stamped with a different run id must not satisfy the
+    all-shards-present gate (a fast host rerunning into the same out_dir
+    would otherwise dedup fresh samples against stale hashes and delete
+    their artifacts)."""
+    from reasoning_image_generation_tpu.cli import merge_host_indexes
+    out = str(tmp_path)
+    with open(os.path.join(out, "index_host00.json"), "w") as f:
+        json.dump({"run_id": "new", "metas": [{"id": 0}]}, f)
+    with open(os.path.join(out, "index_host01.json"), "w") as f:
+        json.dump({"run_id": "old", "metas": [{"id": 999}]}, f)
+    assert merge_host_indexes(out, num_hosts=2, run_id="new") is None
+    with open(os.path.join(out, "index_host01.json"), "w") as f:
+        json.dump({"run_id": "new", "metas": [{"id": 1}]}, f)
+    metas = merge_host_indexes(out, num_hosts=2, run_id="new")
+    assert [m["id"] for m in metas] == [0, 1]
+    # legacy bare-list shards still merge when no run_id is enforced
+    with open(os.path.join(out, "index_host01.json"), "w") as f:
+        json.dump([{"id": 5}], f)
+    metas = merge_host_indexes(out, num_hosts=2)
+    assert [m["id"] for m in metas] == [0, 5]

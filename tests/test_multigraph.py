@@ -253,3 +253,73 @@ def test_generate_batches_dedup(tmp_path):
         assert "qc" in saved  # pool-side QC landed before the JSON write
     for i in range(4, 8):
         assert not os.path.exists(pngs[i]) and not os.path.exists(jss[i])
+
+
+def test_nested_same_center_variant():
+    """same_center=False keeps every layer at its own centroid
+    (reference multi_combinator.py:686,712); the default translates all
+    inner layers to the outer centroid."""
+    import numpy as np
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        combine_nested, circle_poly, rect_poly, poly_centroid)
+    shapes = [rect_poly((-2.0, -2.0), 4.0, 4.0), circle_poly((1.5, 1.0), 1.2)]
+    cen = combine_nested([s.copy() for s in shapes], same_center=True)
+    off = combine_nested([s.copy() for s in shapes], same_center=False)
+    outer_c = poly_centroid(shapes[0])
+    assert np.allclose(poly_centroid(cen[1]), outer_c, atol=1e-4)
+    assert np.allclose(poly_centroid(off[1]), poly_centroid(shapes[1]),
+                       atol=1e-4)
+    # scaling itself is identical in both variants
+    assert np.allclose(off[1] - poly_centroid(off[1]),
+                       cen[1] - poly_centroid(cen[1]), atol=1e-4)
+
+
+def test_adjacent_spacing_variant():
+    """spacing>0 places shapes a fixed gap apart instead of touching
+    (reference multi_combinator.py:780,1019-1029)."""
+    import random
+    import numpy as np
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        combine_adjacent, circle_poly, rect_poly, poly_min_distance,
+        polys_overlap)
+    for seed in range(6):
+        shapes = [rect_poly((-1.5, -1.5), 3.0, 3.0),
+                  circle_poly((4.0, 0.5), 1.0)]
+        placed0 = combine_adjacent(random.Random(seed),
+                                   [s.copy() for s in shapes])
+        d0 = poly_min_distance(placed0[0], placed0[1])
+        assert d0 <= 0.05, f"touch variant gap {d0}"
+        placed = combine_adjacent(random.Random(seed),
+                                  [s.copy() for s in shapes], spacing=0.5)
+        d = poly_min_distance(placed[0], placed[1])
+        assert abs(d - 0.5) <= 0.12, f"spacing variant gap {d}"
+        assert not polys_overlap(placed[0], placed[1])
+
+
+def test_build_scene_variant_plumbing():
+    """The combinator variants are reachable through build_scene and
+    recorded in the per-shape params."""
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        build_scene)
+    _, rec = build_scene(11, "nested", nested_same_center=False)
+    assert all(s["same_center"] is False for s in rec["shapes"])
+    _, rec2 = build_scene(12, "adjacent", adjacent_spacing=0.3)
+    assert all(s["spacing"] == 0.3 for s in rec2["shapes"])
+
+
+def test_point_adjacency_nonconvex_fallback():
+    """Sectors spanning >180deg are non-convex: the support-vertex prune
+    assumes convexity, so those must take the exhaustive vertex loop and
+    still find a valid touching placement."""
+    import numpy as np
+    from reasoning_image_generation_tpu.models.multigraph.scene import (
+        _poly_is_convex, _try_point_adjacency, wedge_poly, rect_poly,
+        poly_min_distance, polys_overlap)
+    big = wedge_poly((0.0, 0.0), 2.0, 0.0, 300.0)   # 300deg sector
+    assert not _poly_is_convex(big)
+    assert _poly_is_convex(rect_poly((-1.0, -1.0), 2.0, 2.0))
+    cur = rect_poly((5.0, 5.0), 1.5, 1.5)
+    out = _try_point_adjacency(cur, big, [big])
+    assert out is not None
+    assert poly_min_distance(out, big) <= 1e-3
+    assert not polys_overlap(out, big)
