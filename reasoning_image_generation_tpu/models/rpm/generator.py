@@ -54,6 +54,37 @@ from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
                             unpack_images as _unpack_images, HostBufferRing)
 
 
+def _write_delta_sample(s_fr, o_fr, over_state, over_opt, b: int, L: int,
+                        O: int, fh: int, fw: int, sample_dir: str,
+                        perm) -> None:
+    """Pool task: materialize one sample's delta-coded (rle3d) frames and
+    write their PNGs.  State t decodes against decoded state t-1 (state 0
+    is a keyframe; raw overflow fetches substitute exactly), options
+    against state L-1 — mirroring the device-side bases in
+    models/rpm/pipeline.py."""
+    from ...io.png import write_png
+    # keyframes contain no copy runs, so the base is never read
+    dummy = np.broadcast_to(np.zeros(3, np.uint8), (fh, fw, 3))
+    prev = dummy
+    for t in range(L):
+        fi = b * L + t
+        if fi in over_state:
+            px = over_state[fi]
+        else:
+            px = s_fr.unpack_delta(fi, prev, (fh, fw))
+        write_png(os.path.join(sample_dir, f"state_{t}.png"), px)
+        prev = px
+    for pos in range(O):
+        fi = b * O + pos
+        src = int(perm[pos])
+        # distractor files keep their pre-shuffle index j (reference
+        # writes option_j.png at generation time, src/generator.py:500)
+        name = "proto_true_next.png" if src == 0 else f"option_{src}.png"
+        px = (over_opt[fi] if fi in over_opt
+              else o_fr.unpack_delta(fi, prev, (fh, fw)))
+        write_png(os.path.join(sample_dir, name), px)
+
+
 class RPMGeneratorTPU:
     def __init__(self, config: GenConfig, show_labels: bool = True,
                  show_border: bool = True, io_workers: int = 8,
@@ -78,7 +109,12 @@ class RPMGeneratorTPU:
         # per-canvas stats so a fresh process starts with converged tiers.
         from ...utils.cache import load_run_stats
         W, H = config.canvas_size
-        self._stats_name = f"rpm_{W}x{H}_g{config.grid_size}"
+        # codec-specific namespace: tiers only ever grow (max-seen), so a
+        # codec with smaller streams (rle3d) must not inherit another's
+        # converged tiers
+        codec = getattr(config, "transfer_codec", "rle3")
+        suffix = "" if codec == "rle3" else f"_{codec}"
+        self._stats_name = f"rpm_{W}x{H}_g{config.grid_size}{suffix}"
         self._run_stats: Dict[str, int] = load_run_stats(self._stats_name)
         # tier decisions FREEZE at generate_ids entry (a mid-run tier bump
         # would compile a new program shape — ~2 s each even warm-cached;
@@ -357,15 +393,20 @@ class RPMGeneratorTPU:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
             codec = getattr(self.cfg, "transfer_codec", "rle3")
-            if codec == "rle3":
+            if codec in ("rle3", "rle3d"):
                 # batch-compact + palettize the run streams on device
-                # (ops/rle.py::compact_rle3) — outside the mesh-sharded
-                # pipeline jit, so this is where shards get gathered
-                from ...ops.rle import compact_rle3
+                # (ops/rle.py::compact_rle3/compact_rle3d) — outside the
+                # mesh-sharded pipeline jit, so this is where shards get
+                # gathered.  Delta streams (4-tuple: + copy mask) come
+                # from pack_batch_rle2_delta; the grid stays plain rle3.
+                from ...ops.rle import compact_rle3, compact_rle3d
                 for key in list(transfer):
                     if key.endswith("_packed"):
-                        transfer[key] = compact_rle3(*transfer[key])
-            flat_blob = codec == "rle3"
+                        val = transfer[key]
+                        transfer[key] = (compact_rle3d(*val)
+                                         if len(val) == 4
+                                         else compact_rle3(*val))
+            flat_blob = codec in ("rle3", "rle3d")
             leaves, treedef, specs = _blob_specs(transfer)
             sizes = self._shrink_sizes(leaf, transfer)
             if any(s is not None for s in sizes):
@@ -436,7 +477,8 @@ class RPMGeneratorTPU:
         for key in sorted(transfer):
             val = transfer[key]
             n_leaves = len(jax.tree.leaves(val))
-            if key.endswith("_packed") and codec == "rle3" and n_leaves == 7:
+            if (key.endswith("_packed") and n_leaves == 7
+                    and codec in ("rle3", "rle3d")):
                 # compacted streams: tier each stream AXIS (batch totals,
                 # not per-frame counts).  Stats store per-frame averages
                 # so a different batch size next run still produces a
@@ -536,8 +578,9 @@ class RPMGeneratorTPU:
         # overflowed their (possibly shrunken) run capacity are fetched
         # raw, all of them in one gathered transfer per tensor
         direct = codec == "rle2" and "grid_img_packed" in out
-        direct3 = (codec == "rle3" and "grid_img_packed" in out
+        direct3 = (codec in ("rle3", "rle3d") and "grid_img_packed" in out
                    and len(out["grid_img_packed"]) == 7)
+        delta3 = direct3 and codec == "rle3d"
         state_imgs = option_imgs = grid_imgs = None
         over_grid = over_state = over_opt = None
         g_fr = s_fr = o_fr = None
@@ -551,9 +594,9 @@ class RPMGeneratorTPU:
                                        g_fr.overflow_indices(n_real))
             if not grid_only:
                 s_fr = Rle3Frames(out["state_imgs_packed"],
-                                  pipe.frame_budget)
+                                  pipe.frame_budget, delta=delta3)
                 o_fr = Rle3Frames(out["option_imgs_packed"],
-                                  pipe.frame_budget)
+                                  pipe.frame_budget, delta=delta3)
                 over_state = _gather_frames(
                     out["state_imgs"], s_fr.overflow_indices(n_real * L))
                 over_opt = _gather_frames(
@@ -646,7 +689,17 @@ class RPMGeneratorTPU:
             grid_path = os.path.join(self.grids_dir, f"grid_{sid:06d}.png")
 
             perm = perms[b]
-            if not grid_only:
+            if not grid_only and delta3:
+                # delta streams: one pool task materializes the sample's
+                # state chain (t vs t-1) + options (vs state L-1) and
+                # writes all its PNGs; raw overflow fetches splice in as
+                # exact bases
+                self._pool.submit(_write_delta_sample, s_fr, o_fr,
+                                  over_state, over_opt, b, L, O, fh, fw,
+                                  sample_dir, perm)
+                self._pool.submit_png(os.path.join(sample_dir, "query.png"),
+                                      layout.query_patch)
+            elif not grid_only:
                 for t in range(L):
                     spath = os.path.join(sample_dir, f"state_{t}.png")
                     if direct3:

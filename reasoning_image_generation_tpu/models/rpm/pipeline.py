@@ -306,12 +306,12 @@ class LeafPipeline:
             # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
                 codec = getattr(cfg, "transfer_codec", "rle3")
-                if codec in ("rle", "rle2", "rle3"):
-                    # rle3 packs per-frame rle2 here; the batch compaction
-                    # + palettization (ops/rle.py::compact_rle3) runs in
-                    # the generator OUTSIDE this jit so the pipeline's
-                    # outputs keep their leading batch axis (mesh-sharded
-                    # over 'data')
+                if codec in ("rle", "rle2", "rle3", "rle3d"):
+                    # rle3/rle3d pack per-frame rle2 here; the batch
+                    # compaction + palettization (ops/rle.py::compact_rle3
+                    # / compact_rle3d) runs in the generator OUTSIDE this
+                    # jit so the pipeline's outputs keep their leading
+                    # batch axis (mesh-sharded over 'data')
                     from ...ops.rle import (pack_batch_rle, pack_batch_rle2,
                                             default_budget,
                                             default_grid_budget)
@@ -329,15 +329,36 @@ class LeafPipeline:
                     gb = int(n_blocks(layout.grid_h, W) * gfrac)
                     pack = pack_batch
                 if "state_imgs" in out:
-                    out["state_imgs_packed"] = pack(state_imgs, budget)
-                    out["option_imgs_packed"] = pack(option_imgs, budget)
+                    if codec == "rle3d":
+                        # inter-frame delta: rule steps change one or two
+                        # element-sized regions, so state t encodes vs
+                        # state t-1 (t=0 keys off the complement — no u8
+                        # pixel equals 255-x) and every option encodes vs
+                        # the last state it derives from.  Unchanged spans
+                        # collapse to copy runs (ops/rle.py, v3d notes).
+                        from ...ops.rle import pack_batch_rle2_delta
+                        s_base = jnp.concatenate(
+                            [255 - state_imgs[:, :1], state_imgs[:, :-1]],
+                            axis=1)
+                        out["state_imgs_packed"] = pack_batch_rle2_delta(
+                            state_imgs, s_base, budget)
+                        o_base = jnp.broadcast_to(
+                            state_imgs[:, L - 1:L], option_imgs.shape)
+                        out["option_imgs_packed"] = pack_batch_rle2_delta(
+                            option_imgs, o_base, budget)
+                    else:
+                        out["state_imgs_packed"] = pack(state_imgs, budget)
+                        out["option_imgs_packed"] = pack(option_imgs,
+                                                         budget)
                 # rle2 ships the PRE-overlay canvas (~37% fewer runs); the
                 # host re-applies the static overlay with the exact same
                 # integer blend (ops/compose.py::apply_overlay_u8).  The
                 # full grid stays device-resident for pHash + the raw
-                # overflow fallback.
+                # overflow fallback.  The grid never delta-codes (each
+                # sample's grid is unique), so rle3d grids ship as rle3.
                 out["grid_img_packed"] = pack(
-                    grids_pre if codec in ("rle2", "rle3") else grids, gb)
+                    grids_pre if codec in ("rle2", "rle3", "rle3d")
+                    else grids, gb)
             return out
 
         # the unjitted body, exposed for AOT export and for callers that

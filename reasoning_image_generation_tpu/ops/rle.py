@@ -115,26 +115,29 @@ def unpack_frame_rle(starts: np.ndarray, colors: np.ndarray, count: int,
 U16_RUN = 65535
 
 
-def pack_frame_rle2(img: jnp.ndarray, max_runs: int):
-    """u8 [H, W, 3] -> (lengths u16 [max_runs], colors u8 [max_runs, 3],
-    count i32)."""
-    H, W = img.shape[:2]
-    n = H * W
-    flat = (img[..., 0].astype(jnp.uint32) << 16
+def _pack24(img: jnp.ndarray) -> jnp.ndarray:
+    """u8 [H, W, 3] -> packed-RGB u32 [H*W] (row-major)."""
+    return (img[..., 0].astype(jnp.uint32) << 16
             | img[..., 1].astype(jnp.uint32) << 8
-            | img[..., 2].astype(jnp.uint32)).reshape(n)
+            | img[..., 2].astype(jnp.uint32)).reshape(-1)
+
+
+def _rle2_encode_values(val: jnp.ndarray, max_runs: int):
+    """Core run encoder over an arbitrary u32 value stream:
+    [n] -> (lengths u16 [max_runs], values u32 [max_runs], count i32)."""
+    n = val.shape[0]
     idx = jnp.arange(n, dtype=jnp.int32)
     boundary = jnp.concatenate(
-        [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+        [jnp.ones((1,), bool), val[1:] != val[:-1]])
     boundary = boundary | (idx % U16_RUN == 0)
     pos = jnp.cumsum(boundary.astype(jnp.int32)) - 1
     count = pos[-1] + 1
-    # compact boundary positions/colors into static run slots (cumsum +
+    # compact boundary positions/values into static run slots (cumsum +
     # scatter-with-drop; see pack_frame_rle for why not flatnonzero)
     tgt = jnp.where(boundary, pos, max_runs)
     starts = jnp.zeros((max_runs,), jnp.int32).at[tgt].set(idx, mode="drop")
-    colors = jnp.zeros((max_runs,), jnp.uint32).at[tgt].set(
-        flat, mode="drop")
+    values = jnp.zeros((max_runs,), jnp.uint32).at[tgt].set(
+        val, mode="drop")
     # run i length = next start - own start; the slot after the last live
     # run holds 0 (scatter-dropped), so patch it to n via the count test
     slot = jnp.arange(max_runs, dtype=jnp.int32)
@@ -142,9 +145,19 @@ def pack_frame_rle2(img: jnp.ndarray, max_runs: int):
     nxt = jnp.where(slot == count - 1, n, nxt)
     lengths = jnp.where(slot < count, nxt - starts, 0)
     lengths = jnp.clip(lengths, 0, U16_RUN).astype(jnp.uint16)
-    rgb = jnp.stack([(colors >> 16) & 0xFF, (colors >> 8) & 0xFF,
-                     colors & 0xFF], axis=-1).astype(jnp.uint8)
-    return lengths, rgb, count
+    return lengths, values, count
+
+
+def _split24(colors: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([(colors >> 16) & 0xFF, (colors >> 8) & 0xFF,
+                      colors & 0xFF], axis=-1).astype(jnp.uint8)
+
+
+def pack_frame_rle2(img: jnp.ndarray, max_runs: int):
+    """u8 [H, W, 3] -> (lengths u16 [max_runs], colors u8 [max_runs, 3],
+    count i32)."""
+    lengths, colors, count = _rle2_encode_values(_pack24(img), max_runs)
+    return lengths, _split24(colors), count
 
 
 @partial(jax.jit, static_argnames=("max_runs",))
@@ -156,6 +169,40 @@ def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
         lambda x: pack_frame_rle2(x, max_runs))(flat)
     return (lengths.reshape(lead + lengths.shape[1:]),
             colors.reshape(lead + colors.shape[1:]),
+            count.reshape(lead))
+
+
+def pack_frame_rle2_delta(img: jnp.ndarray, base: jnp.ndarray,
+                          max_runs: int):
+    """Delta run encoding of one frame against a base frame.
+
+    u8 [H, W, 3] x2 -> (lengths u16 [max_runs], colors u8 [max_runs, 3],
+    copy bool [max_runs], count i32).  Pixels equal to `base` (all three
+    channels) encode as the 25-bit sentinel, so unchanged spans collapse
+    into single copy-from-base runs; `copy[i]` marks them (their color
+    bytes are meaningless).  A keyframe is encoded by passing a base no
+    pixel can equal (e.g. 255 - img: x == 255 - x has no u8 solution)."""
+    flat = _pack24(img)
+    val = jnp.where(flat == _pack24(base),
+                    jnp.asarray(_DELTA_SENT), flat)
+    lengths, colors, count = _rle2_encode_values(val, max_runs)
+    slot = jnp.arange(max_runs, dtype=jnp.int32)
+    copy = (colors == jnp.asarray(_DELTA_SENT)) & (slot < count)
+    return lengths, _split24(colors), copy, count
+
+
+@partial(jax.jit, static_argnames=("max_runs",))
+def pack_batch_rle2_delta(imgs: jnp.ndarray, bases: jnp.ndarray,
+                          max_runs: int):
+    """u8 [..., H, W, 3] frames + same-shaped bases, any leading dims."""
+    lead = imgs.shape[:-3]
+    flat = imgs.reshape((-1,) + imgs.shape[-3:])
+    bflat = jnp.broadcast_to(bases, imgs.shape).reshape(flat.shape)
+    lengths, colors, copy, count = jax.vmap(
+        lambda x, b: pack_frame_rle2_delta(x, b, max_runs))(flat, bflat)
+    return (lengths.reshape(lead + lengths.shape[1:]),
+            colors.reshape(lead + colors.shape[1:]),
+            copy.reshape(lead + copy.shape[1:]),
             count.reshape(lead))
 
 
@@ -191,29 +238,52 @@ def pack_batch_rle2(imgs: jnp.ndarray, max_runs: int):
 
 PAL_K = 255          # palette entries per frame; index 255 = escape marker
 ESC_MARK = 255
+# ---- v3d: inter-frame delta extension (codec 'rle3d') ----
+# Sequence frames differ from their predecessor by one or two element-
+# sized regions (rule steps move/rotate single elements), and option
+# frames are single-element variants of the last state.  The delta
+# encoder runs the SAME run-length machinery over a synthetic value
+# stream where pixels equal to a base frame carry a 25-bit sentinel (no
+# 24-bit RGB can collide), so unchanged spans collapse to single
+# "copy-from-base" runs regardless of their underlying content.  Copy
+# runs travel as palette index 254, shrinking the per-frame palette to
+# 254 real entries; everything else (stream shapes, tiers, coalescing,
+# overflow fallback) is identical to rle3.  Decode needs the base
+# frame's pixels, so state chains materialize sequentially on the host
+# (state 0 is a keyframe: its base is the bitwise complement, which no
+# u8 pixel ever equals).
+COPY_MARK = 254
+# numpy scalar (module-level jnp would device_put at import; see below)
+_DELTA_SENT = np.uint32(0x1000000)   # bit 24: outside every packed RGB
 # numpy scalar, not jnp.uint32(...): a module-level device scalar
 # would initialize the backend at import time (hangs on a dead TPU
 # relay); np.uint32 carries the dtype without a device_put
 _PAL_SENTINEL = np.uint32(0xFFFFFFFF)   # sorts past every 24-bit color
 
 
-def palettize_frame_esc(rgb: jnp.ndarray, count: jnp.ndarray):
+def palettize_frame_esc(rgb: jnp.ndarray, count: jnp.ndarray,
+                        copy: jnp.ndarray | None = None, k: int = PAL_K):
     """(rgb u8 [cap, 3], count) -> (pal u8 [255, 3], nc i32, idx u8 [cap],
     esc_mask bool [cap]).
 
-    Top-255-by-frequency palette over the LIVE runs: sort the packed
+    Top-k-by-frequency palette over the LIVE runs: sort the packed
     colors, mark unique boundaries, measure each unique's multiplicity as
     boundary-to-boundary distance (the same cumsum/scatter compaction the
     run encoder uses), lax.top_k the multiplicities, then re-sort the
     winners by value so searchsorted can map runs to indices.  `nc` is
-    the TRUE distinct-color count (may exceed 255); runs whose color
-    missed the palette get idx=255 and esc_mask set."""
+    the TRUE distinct-color count (may exceed k); runs whose color
+    missed the palette get idx=255 and esc_mask set.
+
+    With a `copy` mask (delta streams, k=COPY_MARK=254), copy runs are
+    excluded from the palette and escapes and carry idx=254; the PAL
+    output keeps its [255, 3] shape with the tail sentinel-padded."""
     cap = rgb.shape[0]
     col32 = (rgb[:, 0].astype(jnp.uint32) << 16
              | rgb[:, 1].astype(jnp.uint32) << 8
              | rgb[:, 2].astype(jnp.uint32))
     live = jnp.arange(cap, dtype=jnp.int32) < count
-    s = jnp.sort(jnp.where(live, col32, _PAL_SENTINEL))
+    pal_ok = live if copy is None else (live & ~copy)
+    s = jnp.sort(jnp.where(pal_ok, col32, _PAL_SENTINEL))
     uniq = jnp.concatenate([jnp.ones((1,), bool), s[1:] != s[:-1]])
     uniq = uniq & (s != _PAL_SENTINEL)
     pos = jnp.cumsum(uniq.astype(jnp.int32)) - 1
@@ -228,23 +298,30 @@ def palettize_frame_esc(rgb: jnp.ndarray, count: jnp.ndarray):
         s, mode="drop")
     u_start = jnp.zeros((cap,), jnp.int32).at[tgt].set(slot_i, mode="drop")
     # multiplicity = next unique's start - own start (last one ends at the
-    # live count); dead slots get 0 so top_k never prefers them over real
-    # colors
+    # palette-eligible count); dead slots get 0 so top_k never prefers
+    # them over real colors
     nxt = jnp.concatenate([u_start[1:], jnp.zeros((1,), jnp.int32)])
-    n_live = jnp.minimum(count, cap).astype(jnp.int32)
+    n_live = jnp.sum(pal_ok, dtype=jnp.int32)
     nxt = jnp.where(slot_i == nc - 1, n_live, nxt)
     mult = jnp.where(slot_i < nc, nxt - u_start, 0)
-    _topv, topi = jax.lax.top_k(mult, PAL_K)
-    chosen = u_col[topi]                       # [255] u32, sentinel-padded
+    _topv, topi = jax.lax.top_k(mult, k)
+    chosen = u_col[topi]                       # [k] u32, sentinel-padded
     pal32 = jnp.sort(chosen)                   # ascending for searchsorted
     # dead choices (mult 0 slots) carry the sentinel and sort to the end
-    pal32 = jnp.where(jnp.arange(PAL_K) < jnp.minimum(nc, PAL_K),
+    pal32 = jnp.where(jnp.arange(k) < jnp.minimum(nc, k),
                       pal32, _PAL_SENTINEL)
+    if k < PAL_K:  # keep PAL's [255, 3] shape across codec variants
+        pal32 = jnp.concatenate(
+            [pal32, jnp.full((PAL_K - k,), _PAL_SENTINEL, jnp.uint32)])
     j = jnp.searchsorted(pal32, col32).astype(jnp.int32)
     jc = jnp.minimum(j, PAL_K - 1)
+    # a real color never equals the sentinel, so hits land in [0, k)
     hit = (j < PAL_K) & (pal32[jc] == col32)
     idx = jnp.where(hit, jc, ESC_MARK).astype(jnp.uint8)
     esc_mask = live & ~hit
+    if copy is not None:
+        idx = jnp.where(copy, jnp.uint8(COPY_MARK), idx)
+        esc_mask = esc_mask & ~copy
     pal = jnp.stack([(pal32 >> 16) & 0xFF, (pal32 >> 8) & 0xFF,
                      pal32 & 0xFF], axis=-1).astype(jnp.uint8)
     return pal, nc, idx, esc_mask
@@ -267,23 +344,20 @@ def _compact(values: jnp.ndarray, counts: jnp.ndarray, cap_out: int):
         values.reshape((-1,) + values.shape[2:]), mode="drop")
 
 
-@partial(jax.jit, static_argnames=())
-def compact_rle3(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
-    """Batch rle2 streams -> one compacted rle3 transfer tuple.
-
-    (lengths u16 [..., cap], rgb u8 [..., cap, 3], count i32 [...]) ->
-    (LN u16 [Tcap], IDX u8 [Tcap], PAL u8 [Pcap, 3], ESC u8 [Ecap, 3],
-     cnt i32 [...], nc i32 [...], ec i32 [...])
-    with Tcap = Ecap = F*cap and Pcap = F*255 STATIC device capacities
-    (the adaptive transfer shrink truncates each stream axis to its tier
-    before the bytes move)."""
+def _compact_rle3_impl(lengths, rgb, count, copy, k: int):
     lead = count.shape
     cap = lengths.shape[-1]
     ln = lengths.reshape(-1, cap)
     co = rgb.reshape(-1, cap, 3)
     cnt = count.reshape(-1).astype(jnp.int32)
     F = ln.shape[0]
-    pal, nc, idx, esc_mask = jax.vmap(palettize_frame_esc)(co, cnt)
+    if copy is None:
+        pal, nc, idx, esc_mask = jax.vmap(
+            lambda c, n: palettize_frame_esc(c, n, None, k))(co, cnt)
+    else:
+        pal, nc, idx, esc_mask = jax.vmap(
+            lambda c, n, m: palettize_frame_esc(c, n, m, k))(
+                co, cnt, copy.reshape(-1, cap))
     c = jnp.minimum(cnt, cap)                  # runs past cap never packed
     LN = _compact(ln, c, F * cap)
     IDX = _compact(idx, c, F * cap)
@@ -297,10 +371,35 @@ def compact_rle3(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
     esc_f = jax.vmap(lambda t, v, buf: buf.at[t].set(v, mode="drop"))(
         etgt, co, esc_f)
     ESC = _compact(esc_f, ec, F * cap)
-    nck = jnp.minimum(nc, PAL_K)
+    nck = jnp.minimum(nc, k)
     PAL = _compact(pal, nck, F * PAL_K)
     return (LN, IDX, PAL, ESC, cnt.reshape(lead), nc.reshape(lead),
             ec.reshape(lead))
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle3(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
+    """Batch rle2 streams -> one compacted rle3 transfer tuple.
+
+    (lengths u16 [..., cap], rgb u8 [..., cap, 3], count i32 [...]) ->
+    (LN u16 [Tcap], IDX u8 [Tcap], PAL u8 [Pcap, 3], ESC u8 [Ecap, 3],
+     cnt i32 [...], nc i32 [...], ec i32 [...])
+    with Tcap = Ecap = F*cap and Pcap = F*255 STATIC device capacities
+    (the adaptive transfer shrink truncates each stream axis to its tier
+    before the bytes move)."""
+    return _compact_rle3_impl(lengths, rgb, count, None, PAL_K)
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle3d(lengths: jnp.ndarray, rgb: jnp.ndarray,
+                  copy: jnp.ndarray, count: jnp.ndarray):
+    """Delta rle2 streams (pack_batch_rle2_delta) -> compacted transfer.
+
+    Identical tuple structure to compact_rle3; copy runs carry
+    IDX=COPY_MARK (254), so per-frame palettes hold at most 254 real
+    entries — the host must mirror that in its offsets
+    (Rle3Frames(pal_k=COPY_MARK))."""
+    return _compact_rle3_impl(lengths, rgb, count, copy, COPY_MARK)
 
 
 @partial(jax.jit, static_argnames=("max_runs",))
@@ -311,11 +410,12 @@ def pack_batch_rle3(imgs: jnp.ndarray, max_runs: int):
     return compact_rle3(ln, co, cnt)
 
 
-def rle3_offsets(cnt: np.ndarray, nc: np.ndarray, ec: np.ndarray, cap: int):
+def rle3_offsets(cnt: np.ndarray, nc: np.ndarray, ec: np.ndarray, cap: int,
+                 pal_k: int = PAL_K):
     """Host-side per-frame stream offsets (exclusive cumsums, flat frame
     order) mirroring compact_rle3's scatter targets."""
     c = np.minimum(np.asarray(cnt, np.int64).reshape(-1), cap)
-    nck = np.minimum(np.asarray(nc, np.int64).reshape(-1), PAL_K)
+    nck = np.minimum(np.asarray(nc, np.int64).reshape(-1), pal_k)
     e = np.asarray(ec, np.int64).reshape(-1)
     return (np.cumsum(c) - c, np.cumsum(nck) - nck, np.cumsum(e) - e)
 
@@ -327,9 +427,13 @@ class Rle3Frames:
     OverflowError when the frame exceeded its device run capacity or its
     slice was truncated by the adaptive shrink (caller fetches raw).
     `overflow_indices(n)` lists those frames up front so the raw
-    fallbacks batch into one gathered fetch."""
+    fallbacks batch into one gathered fetch.
 
-    def __init__(self, packed, cap: int):
+    Delta streams (compact_rle3d) pass delta=True: pal_k drops to
+    COPY_MARK and `unpack_delta(i, base)` splices copy runs from the
+    base frame's pixels."""
+
+    def __init__(self, packed, cap: int, delta: bool = False):
         LN, IDX, PAL, ESC, cnt, nc, ec = packed
         self.LN = np.asarray(LN)
         self.IDX = np.asarray(IDX)
@@ -339,8 +443,10 @@ class Rle3Frames:
         self.nc = np.asarray(nc).reshape(-1)
         self.ec = np.asarray(ec).reshape(-1)
         self.cap = cap
+        self.delta = delta
+        self.pal_k = COPY_MARK if delta else PAL_K
         self.off, self.poff, self.eoff = rle3_offsets(
-            self.cnt, self.nc, self.ec, cap)
+            self.cnt, self.nc, self.ec, cap, self.pal_k)
 
     def _bad(self, i: int) -> bool:
         # Empty slices never overflow: offsets are cumulative, so one
@@ -350,7 +456,7 @@ class Rle3Frames:
         # tail turned ~225 KB/sample transfers into ~2 MB/sample of raw
         # 786 KB fallback fetches).
         c, e = int(self.cnt[i]), int(self.ec[i])
-        nck = min(int(self.nc[i]), PAL_K)
+        nck = min(int(self.nc[i]), self.pal_k)
         return (c > self.cap
                 or (c > 0 and self.off[i] + c > self.LN.shape[0])
                 or (e > 0 and self.eoff[i] + e > self.ESC.shape[0])
@@ -361,15 +467,23 @@ class Rle3Frames:
                           np.int64)
 
     def frame(self, i: int):
+        """(lengths, rgb) of frame i; delta streams additionally return
+        the per-run copy mask as a third element."""
         if self._bad(i):
             raise OverflowError(f"rle3 frame {i} overflowed")
         c, e = int(self.cnt[i]), int(self.ec[i])
-        nck = min(int(self.nc[i]), PAL_K)
+        nck = min(int(self.nc[i]), self.pal_k)
         o = int(self.off[i])
         ln = self.LN[o:o + c]
         ix = self.IDX[o:o + c].astype(np.int64)
         pal = self.PAL[int(self.poff[i]):int(self.poff[i]) + nck]
-        rgb = pal[np.minimum(ix, nck - 1 if nck else 0)]
+        if nck:
+            rgb = pal[np.minimum(ix, nck - 1)]
+        else:
+            # no palette entries at all — every run is a copy (delta
+            # streams: e.g. the correct option IS the last state) or an
+            # escape; colors come entirely from ESC / the base frame
+            rgb = np.zeros((c, 3), np.uint8)
         m = ix == ESC_MARK
         if int(m.sum()) != e:
             raise OverflowError(f"rle3 frame {i}: escape count mismatch")
@@ -377,11 +491,33 @@ class Rle3Frames:
             eo = int(self.eoff[i])
             rgb = rgb.copy()
             rgb[m] = self.ESC[eo:eo + e]
+        if self.delta:
+            return (np.ascontiguousarray(ln), np.ascontiguousarray(rgb),
+                    ix == COPY_MARK)
         return np.ascontiguousarray(ln), np.ascontiguousarray(rgb)
 
     def unpack(self, i: int, shape) -> np.ndarray:
+        if self.delta:
+            raise ValueError("delta stream: use unpack_delta(i, base, ...)")
         ln, rgb = self.frame(i)
         return unpack_frame_rle2(ln, rgb, ln.shape[0], shape)
+
+    def unpack_delta(self, i: int, base: np.ndarray, shape) -> np.ndarray:
+        """Exact reconstruction of delta frame i against `base` (the
+        previous frame's decoded [H, W, 3] pixels — or anything of that
+        shape for keyframes, whose streams contain no copy runs)."""
+        ln, rgb, copy = self.frame(i)
+        H, W = shape[:2]
+        n = H * W
+        l64 = np.asarray(ln, np.int64)
+        if int(l64.sum()) != n:
+            raise OverflowError(f"rle3d frame {i} length sum != {n}")
+        flat = np.repeat(rgb, l64, axis=0)
+        if copy.any():
+            px_copy = np.repeat(copy, l64)
+            bflat = np.asarray(base, np.uint8).reshape(n, 3)
+            flat[px_copy] = bflat[px_copy]
+        return flat.reshape(H, W, 3)
 
     def nbytes_shipped(self) -> int:
         return (self.LN.nbytes + self.IDX.nbytes + self.PAL.nbytes

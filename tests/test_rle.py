@@ -266,3 +266,124 @@ def test_rle3_write_png_parity(tmp_path):
     write_png_rle3(p1, fr, 0, 64, 64)
     write_png(p2, img)
     np.testing.assert_array_equal(cv2.imread(p1), cv2.imread(p2))
+
+
+# ---- rle3d (inter-frame delta codec) ----
+
+def _seq(seed=0, L=4, H=64, W=64):
+    """Frame sequence where each frame moves one small rect vs its
+    predecessor (the RPM state-sequence shape)."""
+    rng = np.random.default_rng(seed)
+    base = _img(seed, n_rects=4, H=H, W=W)
+    frames = [base]
+    for t in range(1, L):
+        f = frames[-1].copy()
+        y, x = rng.integers(0, H - 12), rng.integers(0, W - 12)
+        f[y:y + 10, x:x + 10] = rng.integers(0, 255, 3)
+        frames.append(f)
+    return np.stack(frames)
+
+
+def test_rle3d_roundtrip_exact_chain():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2_delta, compact_rle3d, Rle3Frames)
+    seq = _seq(3, L=5)
+    cap = 2048
+    bases = np.concatenate([255 - seq[:1], seq[:-1]])  # keyframe trick
+    ln, co, cp, cnt = pack_batch_rle2_delta(
+        jnp.asarray(seq), jnp.asarray(bases), cap)
+    packed = compact_rle3d(ln, co, cp, cnt)
+    fr = Rle3Frames([np.asarray(a) for a in packed], cap, delta=True)
+    assert fr.overflow_indices(5).size == 0
+    prev = np.zeros_like(seq[0])
+    for t in range(5):
+        got = fr.unpack_delta(t, prev, (64, 64))
+        np.testing.assert_array_equal(got, seq[t])
+        prev = got
+
+
+def test_rle3d_far_fewer_runs_than_rle3():
+    """Delta frames of a mostly-unchanged sequence must carry far fewer
+    runs than independent encoding (the whole point of the codec)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2, pack_batch_rle2_delta)
+    seq = _seq(7, L=4)
+    cap = 2048
+    _, _, cnt_full = pack_batch_rle2(jnp.asarray(seq), cap)
+    bases = np.concatenate([255 - seq[:1], seq[:-1]])
+    _, _, _, cnt_d = pack_batch_rle2_delta(
+        jnp.asarray(seq), jnp.asarray(bases), cap)
+    full = np.asarray(cnt_full)[1:].sum()
+    delta = np.asarray(cnt_d)[1:].sum()
+    assert delta < full * 0.5, (full, delta)
+    # keyframe (vs inverted base) encodes everything
+    assert int(np.asarray(cnt_d)[0]) == int(np.asarray(cnt_full)[0])
+
+
+def test_rle3d_escape_and_copy_mix():
+    """A delta frame whose changed region carries >254 distinct colors
+    exercises copy runs + palette escapes together."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2_delta, compact_rle3d, Rle3Frames)
+    rng = np.random.default_rng(11)
+    base = _img(5, n_rects=3)
+    f = base.copy()
+    f[20:40, :] = rng.integers(0, 255, (20, 64, 3), np.uint8)  # noise band
+    seq = np.stack([base, f])
+    bases = np.stack([255 - base, base])
+    cap = 4096
+    ln, co, cp, cnt = pack_batch_rle2_delta(
+        jnp.asarray(seq), jnp.asarray(bases), cap)
+    packed = compact_rle3d(ln, co, cp, cnt)
+    assert int(np.asarray(packed[5])[1]) > 254  # distinct colors
+    assert int(np.asarray(packed[6])[1]) > 0    # escapes used
+    fr = Rle3Frames([np.asarray(a) for a in packed], cap, delta=True)
+    np.testing.assert_array_equal(
+        fr.unpack_delta(0, np.zeros_like(base), (64, 64)), base)
+    np.testing.assert_array_equal(fr.unpack_delta(1, base, (64, 64)), f)
+
+
+def test_rle3d_identical_frame_single_copy_run():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2_delta)
+    img = _img(9)
+    ln, co, cp, cnt = pack_batch_rle2_delta(
+        jnp.asarray(img[None]), jnp.asarray(img[None]), 256)
+    # 64*64 = 4096 px < 65535: one copy run covers the whole frame
+    assert int(np.asarray(cnt)[0]) == 1
+    assert bool(np.asarray(cp)[0, 0])
+
+
+def test_generator_end_to_end_rle3d_matches_rle3(tmp_path):
+    """Full export under the delta codec must write byte-identical PNGs
+    and metadata to the independent-frame rle3 codec (both lossless)."""
+    import os
+    import dataclasses
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import (
+        RPMGeneratorTPU)
+    outs = {}
+    for codec in ("rle3", "rle3d"):
+        out = str(tmp_path / codec)
+        cfg = GenConfig(out_dir=out, seed=77, batch_size=4,
+                        canvas_size=(96, 96), sparse_transfer=True)
+        cfg = dataclasses.replace(cfg, transfer_codec=codec)
+        gen = RPMGeneratorTPU(cfg)
+        gen.generate_ids(list(range(4)))
+        gen.close()
+        outs[codec] = out
+    ref, got = outs["rle3"], outs["rle3d"]
+    walked = 0
+    for root, _dirs, files in os.walk(ref):
+        for f in sorted(files):
+            rp = os.path.join(root, f)
+            gp = rp.replace(ref, got, 1)
+            assert os.path.exists(gp), f"missing {gp}"
+            if f.endswith(".png"):
+                import cv2
+                a, bb = cv2.imread(rp), cv2.imread(gp)
+                # encodings may differ (palette vs truecolor PNG); the
+                # decoded pixels must not
+                np.testing.assert_array_equal(a, bb, err_msg=f)
+                walked += 1
+    assert walked >= 4 * (4 + 4 + 1)  # states + options/proto + grids
