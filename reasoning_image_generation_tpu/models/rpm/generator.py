@@ -112,7 +112,7 @@ class RPMGeneratorTPU:
         # codec-specific namespace: tiers only ever grow (max-seen), so a
         # codec with smaller streams (rle3d) must not inherit another's
         # converged tiers
-        codec = getattr(config, "transfer_codec", "rle3")
+        codec = getattr(config, "transfer_codec", "rle3d")
         suffix = "" if codec == "rle3" else f"_{codec}"
         self._stats_name = f"rpm_{W}x{H}_g{config.grid_size}{suffix}"
         self._run_stats: Dict[str, int] = load_run_stats(self._stats_name)
@@ -392,7 +392,7 @@ class RPMGeneratorTPU:
             if "grid_img_packed" in out:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
-            codec = getattr(self.cfg, "transfer_codec", "rle3")
+            codec = getattr(self.cfg, "transfer_codec", "rle3d")
             if codec in ("rle3", "rle3d"):
                 # batch-compact + palettize the run streams on device
                 # (ops/rle.py::compact_rle3/compact_rle3d) — outside the
@@ -472,7 +472,7 @@ class RPMGeneratorTPU:
         frame that exceeds a shrunken capacity hits the existing raw-frame
         overflow fallback on decode, so an optimistic tier costs one extra
         gathered fetch, never correctness."""
-        codec = getattr(self.cfg, "transfer_codec", "rle3")
+        codec = getattr(self.cfg, "transfer_codec", "rle3d")
         sizes = []
         for key in sorted(transfer):
             val = transfer[key]
@@ -571,7 +571,7 @@ class RPMGeneratorTPU:
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
-        codec = getattr(self.cfg, "transfer_codec", "rle3")
+        codec = getattr(self.cfg, "transfer_codec", "rle3d")
         n_real = out.get("_n_real", len(chunk))
         # rle2 exports straight from the run stream (fastpng_write_rle):
         # no host pixel tensor is ever materialized — only frames that

@@ -305,7 +305,7 @@ class LeafPipeline:
             # ('sparse') to ~15x ('rle') fewer bytes over the host link;
             # raw frames stay device-resident for the overflow fallback
             if getattr(cfg, "sparse_transfer", True):
-                codec = getattr(cfg, "transfer_codec", "rle3")
+                codec = getattr(cfg, "transfer_codec", "rle3d")
                 if codec in ("rle", "rle2", "rle3", "rle3d"):
                     # rle3/rle3d pack per-frame rle2 here; the batch
                     # compaction + palettization (ops/rle.py::compact_rle3
