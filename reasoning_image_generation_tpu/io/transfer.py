@@ -130,14 +130,31 @@ def split_flat(blob_np: np.ndarray, treedef, specs):
     return jax.tree.unflatten(treedef, out)
 
 
+@jax.jit
+def _gather_flat(flat_raw, idx):
+    """Traced-index frame gather: ONE compiled program per raw-tensor
+    shape x index-bucket size, reused across batches and runs.  An
+    unjitted jnp.take with a data-dependent index shape compiles a fresh
+    XLA program for EVERY distinct overflow count — on the remote-compile
+    relay that turned rare overflow fetches into multi-second compile
+    stalls billed to the round-4 bench's timed windows."""
+    return jnp.take(flat_raw, idx, axis=0)
+
+
 def gather_frames(raw_dev, indices: np.ndarray) -> dict:
     """Fetch the listed flat frame indices of a device image tensor in ONE
-    gathered transfer -> {flat_index: u8 [h, w, 3]}."""
-    if len(indices) == 0:
+    gathered transfer -> {flat_index: u8 [h, w, 3]}.  Indices pad to the
+    next power of two (repeating the last index) so only O(log B) gather
+    shapes ever compile per raw-tensor shape."""
+    indices = np.asarray(indices).reshape(-1)
+    if indices.size == 0:
         return {}
     flat_raw = raw_dev.reshape((-1,) + raw_dev.shape[-3:])
-    sel = np.asarray(jnp.take(flat_raw, jnp.asarray(np.asarray(indices)),
-                              axis=0))
+    bucket = 1 << (int(indices.size) - 1).bit_length()
+    bucket = min(bucket, int(flat_raw.shape[0]))
+    padded = np.full(max(bucket, indices.size), indices[-1], dtype=np.int32)
+    padded[:indices.size] = indices
+    sel = np.asarray(_gather_flat(flat_raw, jnp.asarray(padded)))
     return {int(i): sel[j] for j, i in enumerate(indices)}
 
 
@@ -195,7 +212,8 @@ class HostBufferRing:
 
 def overflow_pixels(packed, raw_dev, n_valid: int) -> dict:
     """Raw pixels for frames whose true run count exceeds the transferred
-    capacity — all of them fetched in ONE gathered device->host transfer.
+    capacity — all of them fetched in ONE gathered device->host transfer
+    (gather_frames: bucketed traced-index take, no per-count compiles).
     `packed` is a host-side (lengths/starts, colors, counts) tuple; returns
     {flat_frame_index: u8 [h, w, 3]} over the first n_valid (batch-major)
     frames."""
@@ -204,11 +222,7 @@ def overflow_pixels(packed, raw_dev, n_valid: int) -> dict:
     cnt = np.asarray(counts).reshape(-1)
     over = np.nonzero(cnt > cap)[0]
     over = over[over < n_valid]
-    if over.size == 0:
-        return {}
-    flat_raw = raw_dev.reshape((-1,) + raw_dev.shape[-3:])
-    sel = np.asarray(jnp.take(flat_raw, jnp.asarray(over), axis=0))
-    return {int(i): sel[j] for j, i in enumerate(over)}
+    return gather_frames(raw_dev, over)
 
 
 def unpack_images(packed, raw_dev, codec: str = "rle",
