@@ -196,26 +196,31 @@ class GeometryGeneratorTPU:
         # frames that still overflow fall back to one gathered raw fetch.
         from ...io.transfer import (coalesce_flat, coalesce_flat_shrunk,
                                     blob_specs, shrunk_specs, transfer_tier)
-        from ...ops.rle import pack_batch_rle3, default_budget
+        from ...ops.rle import pack_batch_rle4, default_budget
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
         budget = default_budget(H, W)
-        packed = pack_batch_rle3(imgs, budget)
+        packed = pack_batch_rle4(imgs, budget)
         leaves, treedef, specs = blob_specs(packed)
-        skey = f"mg:{H}x{W}"
-        F = int(packed[4].shape[0])
+        # 'mg4': the v4 wire format adds the X stream stat; a fresh
+        # namespace keeps old rle3 tier stats from masking its absence
+        skey = f"mg4:{H}x{W}"
+        F = int(packed[5].shape[0])
 
-        def tier_for(suffix, cap):
+        def tier_for(suffix, cap, slack=0):
             st = self._run_stats.get(f"{skey}:{suffix}")
-            return transfer_tier(None if st is None else st * F, cap)
+            return transfer_tier(None if st is None else st * F + slack,
+                                 cap)
 
         tT = tier_for("T", int(leaves[0].shape[0]))
-        tP = tier_for("P", int(leaves[2].shape[0]))
-        tE = tier_for("E", int(leaves[3].shape[0]))
+        tP = tier_for("P", int(leaves[2].shape[0]), slack=1024)
+        tE = tier_for("E", int(leaves[3].shape[0]), slack=4096)
+        tX = tier_for("X", int(leaves[4].shape[0]), slack=1024)
         sizes = (None if tT is None else (0, tT),
                  None if tT is None else (0, tT),
                  None if tP is None else (0, tP),
                  None if tE is None else (0, tE),
-                 None, None, None)
+                 None if tX is None else (0, tX),
+                 None, None, None, None)
         if any(s is not None for s in sizes):
             blob = coalesce_flat_shrunk(leaves, sizes)
             specs = shrunk_specs(leaves, sizes)
@@ -237,9 +242,12 @@ class GeometryGeneratorTPU:
         frames = Rle3Frames(packed, st["budget"])
         skey = st["skey"]
         F = max(frames.cnt.size, 1)
-        for suf, tot in (("T", int(frames.cnt.sum())),
-                         ("P", int(np.minimum(frames.nc, PAL_K).sum())),
-                         ("E", int(frames.ec.sum()))):
+        stats = [("T", int(frames.cnt.sum())),
+                 ("P", int(np.minimum(frames.nc, PAL_K).sum())),
+                 ("E", int(frames.ec.sum()))]
+        if frames.xc is not None:
+            stats.append(("X", int(frames.xc.sum())))
+        for suf, tot in stats:
             k = f"{skey}:{suf}"
             self._run_stats[k] = max(self._run_stats.get(k, 0.0), tot / F)
         over = gather_frames(st["imgs"], frames.overflow_indices(F))

@@ -112,7 +112,7 @@ class RPMGeneratorTPU:
         # codec-specific namespace: tiers only ever grow (max-seen), so a
         # codec with smaller streams (rle3d) must not inherit another's
         # converged tiers
-        codec = getattr(config, "transfer_codec", "rle3d")
+        codec = getattr(config, "transfer_codec", "rle4d")
         suffix = "" if codec == "rle3" else f"_{codec}"
         self._stats_name = f"rpm_{W}x{H}_g{config.grid_size}{suffix}"
         self._run_stats: Dict[str, int] = load_run_stats(self._stats_name)
@@ -392,21 +392,25 @@ class RPMGeneratorTPU:
             if "grid_img_packed" in out:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
-            codec = getattr(self.cfg, "transfer_codec", "rle3d")
-            if codec in ("rle3", "rle3d"):
+            codec = getattr(self.cfg, "transfer_codec", "rle4d")
+            if codec in ("rle3", "rle3d", "rle4", "rle4d"):
                 # batch-compact + palettize the run streams on device
-                # (ops/rle.py::compact_rle3/compact_rle3d) — outside the
-                # mesh-sharded pipeline jit, so this is where shards get
-                # gathered.  Delta streams (4-tuple: + copy mask) come
-                # from pack_batch_rle2_delta; the grid stays plain rle3.
-                from ...ops.rle import compact_rle3, compact_rle3d
+                # (ops/rle.py::compact_rle3/compact_rle3d and the
+                # u8-length v4 variants) — outside the mesh-sharded
+                # pipeline jit, so this is where shards get gathered.
+                # Delta streams (4-tuple: + copy mask) come from
+                # pack_batch_rle2_delta; the grid stays non-delta.
+                from ...ops.rle import (compact_rle3, compact_rle3d,
+                                        compact_rle4, compact_rle4d)
+                v4 = codec.startswith("rle4")
+                c_plain = compact_rle4 if v4 else compact_rle3
+                c_delta = compact_rle4d if v4 else compact_rle3d
                 for key in list(transfer):
                     if key.endswith("_packed"):
                         val = transfer[key]
-                        transfer[key] = (compact_rle3d(*val)
-                                         if len(val) == 4
-                                         else compact_rle3(*val))
-            flat_blob = codec in ("rle3", "rle3d")
+                        transfer[key] = (c_delta(*val) if len(val) == 4
+                                         else c_plain(*val))
+            flat_blob = codec in ("rle3", "rle3d", "rle4", "rle4d")
             leaves, treedef, specs = _blob_specs(transfer)
             sizes = self._shrink_sizes(leaf, transfer)
             if any(s is not None for s in sizes):
@@ -472,19 +476,20 @@ class RPMGeneratorTPU:
         frame that exceeds a shrunken capacity hits the existing raw-frame
         overflow fallback on decode, so an optimistic tier costs one extra
         gathered fetch, never correctness."""
-        codec = getattr(self.cfg, "transfer_codec", "rle3d")
+        codec = getattr(self.cfg, "transfer_codec", "rle4d")
         sizes = []
         for key in sorted(transfer):
             val = transfer[key]
             n_leaves = len(jax.tree.leaves(val))
-            if (key.endswith("_packed") and n_leaves == 7
-                    and codec in ("rle3", "rle3d")):
+            if (key.endswith("_packed") and n_leaves in (7, 9)
+                    and codec in ("rle3", "rle3d", "rle4", "rle4d")):
                 # compacted streams: tier each stream AXIS (batch totals,
                 # not per-frame counts).  Stats store per-frame averages
                 # so a different batch size next run still produces a
                 # sane tier.
                 LN, _IDX, PAL, ESC = val[0], val[1], val[2], val[3]
-                F = int(np.prod(val[4].shape, dtype=np.int64))
+                F = int(np.prod(val[5 if n_leaves == 9 else 4].shape,
+                                dtype=np.int64))
 
                 def tier_for(suffix, cap, slack=0):
                     st = self._tier_stats.get(f"{leaf}:{key}:{suffix}")
@@ -503,8 +508,17 @@ class RPMGeneratorTPU:
                 sizes += [None if tT is None else (0, tT),
                           None if tT is None else (0, tT),
                           None if tP is None else (0, tP),
-                          None if tE is None else (0, tE),
-                          None, None, None]
+                          None if tE is None else (0, tE)]
+                if n_leaves == 9:
+                    # v4 extension stream (u16 lengths of runs >255):
+                    # per-frame counts are structural (fill spans) but a
+                    # single busy frame can double them — same absolute
+                    # slack policy as the palette stream
+                    tX = tier_for("X", int(val[4].shape[0]), slack=1024)
+                    sizes += [None if tX is None else (0, tX),
+                              None, None, None, None]
+                else:
+                    sizes += [None, None, None]
                 continue
             if not (key.endswith("_packed") and codec in ("rle", "rle2")):
                 sizes += [None] * n_leaves
@@ -526,14 +540,18 @@ class RPMGeneratorTPU:
             if key not in out:
                 continue
             val = out[key]
-            if len(val) == 7:  # rle3: per-frame AVERAGE totals (see
-                cnt = np.asarray(val[4])     # _shrink_sizes)
-                nc = np.asarray(val[5])
-                ec = np.asarray(val[6])
+            if len(val) in (7, 9):  # rle3/rle4: per-frame AVERAGE totals
+                v4 = len(val) == 9           # (see _shrink_sizes)
+                cnt = np.asarray(val[5 if v4 else 4])
+                nc = np.asarray(val[6 if v4 else 5])
+                ec = np.asarray(val[7 if v4 else 6])
                 F = max(cnt.size, 1)
-                for suf, tot in (("T", int(cnt.sum())),
-                                 ("P", int(np.minimum(nc, PAL_K).sum())),
-                                 ("E", int(ec.sum()))):
+                stats = [("T", int(cnt.sum())),
+                         ("P", int(np.minimum(nc, PAL_K).sum())),
+                         ("E", int(ec.sum()))]
+                if v4:
+                    stats.append(("X", int(np.asarray(val[8]).sum())))
+                for suf, tot in stats:
                     k = f"{leaf}:{key}:{suf}"
                     self._run_stats[k] = max(self._run_stats.get(k, 0.0),
                                              tot / F)
@@ -571,16 +589,17 @@ class RPMGeneratorTPU:
         options_np = jax.tree.map(np.asarray, out["options"])
         params_np = jax.tree.map(np.asarray, out["params"])
         grid_only = getattr(self.cfg, "grid_only", False)
-        codec = getattr(self.cfg, "transfer_codec", "rle3d")
+        codec = getattr(self.cfg, "transfer_codec", "rle4d")
         n_real = out.get("_n_real", len(chunk))
         # rle2 exports straight from the run stream (fastpng_write_rle):
         # no host pixel tensor is ever materialized — only frames that
         # overflowed their (possibly shrunken) run capacity are fetched
         # raw, all of them in one gathered transfer per tensor
         direct = codec == "rle2" and "grid_img_packed" in out
-        direct3 = (codec in ("rle3", "rle3d") and "grid_img_packed" in out
-                   and len(out["grid_img_packed"]) == 7)
-        delta3 = direct3 and codec == "rle3d"
+        direct3 = (codec in ("rle3", "rle3d", "rle4", "rle4d")
+                   and "grid_img_packed" in out
+                   and len(out["grid_img_packed"]) in (7, 9))
+        delta3 = direct3 and codec in ("rle3d", "rle4d")
         state_imgs = option_imgs = grid_imgs = None
         over_grid = over_state = over_opt = None
         g_fr = s_fr = o_fr = None

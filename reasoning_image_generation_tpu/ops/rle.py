@@ -344,7 +344,7 @@ def _compact(values: jnp.ndarray, counts: jnp.ndarray, cap_out: int):
         values.reshape((-1,) + values.shape[2:]), mode="drop")
 
 
-def _compact_rle3_impl(lengths, rgb, count, copy, k: int):
+def _compact_rle3_impl(lengths, rgb, count, copy, k: int, ln8: bool = False):
     lead = count.shape
     cap = lengths.shape[-1]
     ln = lengths.reshape(-1, cap)
@@ -359,7 +359,6 @@ def _compact_rle3_impl(lengths, rgb, count, copy, k: int):
             lambda c, n, m: palettize_frame_esc(c, n, m, k))(
                 co, cnt, copy.reshape(-1, cap))
     c = jnp.minimum(cnt, cap)                  # runs past cap never packed
-    LN = _compact(ln, c, F * cap)
     IDX = _compact(idx, c, F * cap)
     # escapes compact twice: within the frame (run order), then across
     # frames — reuse _compact by first gathering each frame's escape RGBs
@@ -373,8 +372,28 @@ def _compact_rle3_impl(lengths, rgb, count, copy, k: int):
     ESC = _compact(esc_f, ec, F * cap)
     nck = jnp.minimum(nc, k)
     PAL = _compact(pal, nck, F * PAL_K)
-    return (LN, IDX, PAL, ESC, cnt.reshape(lead), nc.reshape(lead),
-            ec.reshape(lead))
+    if not ln8:
+        LN = _compact(ln, c, F * cap)
+        return (LN, IDX, PAL, ESC, cnt.reshape(lead), nc.reshape(lead),
+                ec.reshape(lead))
+    # v4 wire format: u8 lengths + a compacted u16 extension stream.
+    # Median run length on production frames is 1 (AA edge pixels), so
+    # the u16 length byte is dead weight on most runs; lengths 1-255
+    # ship as one u8, longer runs ship 0 (no live run has length 0) and
+    # their true u16 length rides a per-frame extension stream compacted
+    # exactly like the escapes (measured: 0.2% of grid runs and ~8% of
+    # state/option runs exceed 255 -> 33%/28% run-byte savings).
+    big = ln > 255                             # dead slots are 0, never big
+    xc = jnp.sum(big, axis=1).astype(jnp.int32)
+    xpos = jnp.cumsum(big, axis=1) - 1
+    xtgt = jnp.where(big, xpos, cap)
+    lnx_f = jnp.zeros((F, cap), jnp.uint16)
+    lnx_f = jax.vmap(lambda t, v, buf: buf.at[t].set(v, mode="drop"))(
+        xtgt, ln, lnx_f)
+    LNX = _compact(lnx_f, xc, F * cap)
+    LN8 = _compact(jnp.where(big, 0, ln).astype(jnp.uint8), c, F * cap)
+    return (LN8, IDX, PAL, ESC, LNX, cnt.reshape(lead), nc.reshape(lead),
+            ec.reshape(lead), xc.reshape(lead))
 
 
 @partial(jax.jit, static_argnames=())
@@ -402,12 +421,38 @@ def compact_rle3d(lengths: jnp.ndarray, rgb: jnp.ndarray,
     return _compact_rle3_impl(lengths, rgb, count, copy, COPY_MARK)
 
 
+@partial(jax.jit, static_argnames=())
+def compact_rle4(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
+    """rle3 with the v4 wire format: LN travels as u8 (runs >255 ship 0
+    + their true u16 length in a compacted extension stream).
+
+    Returns (LN8 u8 [Tcap], IDX u8 [Tcap], PAL u8 [Pcap, 3],
+    ESC u8 [Ecap, 3], LNX u16 [Xcap], cnt, nc, ec, xc)."""
+    return _compact_rle3_impl(lengths, rgb, count, None, PAL_K, ln8=True)
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle4d(lengths: jnp.ndarray, rgb: jnp.ndarray,
+                  copy: jnp.ndarray, count: jnp.ndarray):
+    """Delta rle2 streams -> compacted v4 transfer (compact_rle3d with the
+    u8-length wire format; copy runs still carry IDX=COPY_MARK)."""
+    return _compact_rle3_impl(lengths, rgb, count, copy, COPY_MARK,
+                              ln8=True)
+
+
 @partial(jax.jit, static_argnames=("max_runs",))
 def pack_batch_rle3(imgs: jnp.ndarray, max_runs: int):
     """Render batch -> compacted rle3 transfer tuple in ONE dispatch
     (pack_batch_rle2 + compact_rle3 fused under a single jit)."""
     ln, co, cnt = pack_batch_rle2(imgs, max_runs)
     return compact_rle3(ln, co, cnt)
+
+
+@partial(jax.jit, static_argnames=("max_runs",))
+def pack_batch_rle4(imgs: jnp.ndarray, max_runs: int):
+    """Render batch -> compacted rle4 transfer tuple in ONE dispatch."""
+    ln, co, cnt = pack_batch_rle2(imgs, max_runs)
+    return compact_rle4(ln, co, cnt)
 
 
 def rle3_offsets(cnt: np.ndarray, nc: np.ndarray, ec: np.ndarray, cap: int,
@@ -431,10 +476,22 @@ class Rle3Frames:
 
     Delta streams (compact_rle3d) pass delta=True: pal_k drops to
     COPY_MARK and `unpack_delta(i, base)` splices copy runs from the
-    base frame's pixels."""
+    base frame's pixels.
+
+    9-tuples (compact_rle4/compact_rle4d) carry the v4 wire format:
+    LN is u8 and runs >255 pull their true u16 length from the LNX
+    extension stream (detected by tuple arity; everything else is
+    identical)."""
 
     def __init__(self, packed, cap: int, delta: bool = False):
-        LN, IDX, PAL, ESC, cnt, nc, ec = packed
+        if len(packed) == 9:
+            LN, IDX, PAL, ESC, LNX, cnt, nc, ec, xc = packed
+            self.LNX = np.asarray(LNX)
+            self.xc = np.asarray(xc).reshape(-1)
+        else:
+            LN, IDX, PAL, ESC, cnt, nc, ec = packed
+            self.LNX = None
+            self.xc = None
         self.LN = np.asarray(LN)
         self.IDX = np.asarray(IDX)
         self.PAL = np.asarray(PAL)
@@ -447,6 +504,11 @@ class Rle3Frames:
         self.pal_k = COPY_MARK if delta else PAL_K
         self.off, self.poff, self.eoff = rle3_offsets(
             self.cnt, self.nc, self.ec, cap, self.pal_k)
+        if self.xc is not None:
+            x = np.asarray(self.xc, np.int64)
+            self.xoff = np.cumsum(x) - x
+        else:
+            self.xoff = None
 
     def _bad(self, i: int) -> bool:
         # Empty slices never overflow: offsets are cumulative, so one
@@ -457,6 +519,10 @@ class Rle3Frames:
         # 786 KB fallback fetches).
         c, e = int(self.cnt[i]), int(self.ec[i])
         nck = min(int(self.nc[i]), self.pal_k)
+        if self.xc is not None:
+            x = int(self.xc[i])
+            if x > 0 and self.xoff[i] + x > self.LNX.shape[0]:
+                return True
         return (c > self.cap
                 or (c > 0 and self.off[i] + c > self.LN.shape[0])
                 or (e > 0 and self.eoff[i] + e > self.ESC.shape[0])
@@ -475,6 +541,18 @@ class Rle3Frames:
         nck = min(int(self.nc[i]), self.pal_k)
         o = int(self.off[i])
         ln = self.LN[o:o + c]
+        if self.LNX is not None:
+            # v4: splice extended lengths over the u8 stream's 0 markers
+            ln8 = ln
+            ln = ln8.astype(np.uint16)
+            ext = ln8 == 0
+            x = int(self.xc[i])
+            if int(ext.sum()) != x:
+                raise OverflowError(
+                    f"rle4 frame {i}: extension count mismatch")
+            if x:
+                xo = int(self.xoff[i])
+                ln[ext] = self.LNX[xo:xo + x]
         ix = self.IDX[o:o + c].astype(np.int64)
         pal = self.PAL[int(self.poff[i]):int(self.poff[i]) + nck]
         if nck:
@@ -520,9 +598,12 @@ class Rle3Frames:
         return flat.reshape(H, W, 3)
 
     def nbytes_shipped(self) -> int:
-        return (self.LN.nbytes + self.IDX.nbytes + self.PAL.nbytes
-                + self.ESC.nbytes + self.cnt.nbytes + self.nc.nbytes
-                + self.ec.nbytes)
+        n = (self.LN.nbytes + self.IDX.nbytes + self.PAL.nbytes
+             + self.ESC.nbytes + self.cnt.nbytes + self.nc.nbytes
+             + self.ec.nbytes)
+        if self.LNX is not None:
+            n += self.LNX.nbytes + self.xc.nbytes
+        return n
 
 
 def unpack_frame_rle2(lengths: np.ndarray, colors: np.ndarray, count: int,

@@ -109,15 +109,18 @@ class GenConfig:
     # composed grids are denser (borders, labels, resized cells): measured
     # p99 = 0.46, max = 0.47
     sparse_budget_grid: float = 0.55
-    # which codec sparse_transfer uses: 'rle3d' (rle3 + inter-frame
-    # delta for state/option frames — unchanged spans collapse to
-    # copy-from-base runs; measured 2.0x fewer full-export bytes than
-    # rle3 — the default), 'rle3' (batch-compacted runs + top-255
-    # palette w/ escapes, ~1.3 bytes/run), 'rle2' (u16 run length +
-    # u8 RGB, 5 bytes/run), 'rle' (u32 start + u32 packed color,
-    # 8 bytes/run), or 'sparse' (8x8 block codec, ops/sparse.py).  All
-    # are lossless with a raw-frame fallback on budget overflow.
-    transfer_codec: str = "rle3d"
+    # which codec sparse_transfer uses: 'rle4d' (rle3d with u8 run
+    # lengths — runs >255 pull their true u16 length from a compacted
+    # extension stream; measured 28-33% fewer run bytes than the u16
+    # format — the default), 'rle4' (same wire format, no inter-frame
+    # delta), 'rle3d' (u16 lengths + inter-frame delta for state/option
+    # frames — unchanged spans collapse to copy-from-base runs; 2.0x
+    # fewer full-export bytes than rle3), 'rle3' (batch-compacted runs
+    # + top-255 palette w/ escapes), 'rle2' (u16 run length + u8 RGB,
+    # 5 bytes/run), 'rle' (u32 start + u32 packed color, 8 bytes/run),
+    # or 'sparse' (8x8 block codec, ops/sparse.py).  All are lossless
+    # with a raw-frame fallback on budget overflow.
+    transfer_codec: str = "rle4d"
     # RLE run budgets (max runs per frame; overflow falls back to a raw
     # transfer).  Measured: state/option frames p50 ~2.4k runs, max 3.2k;
     # composed grids max ~8.2k.  0 = defaults: H*W/32 for frames

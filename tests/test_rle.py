@@ -387,3 +387,134 @@ def test_generator_end_to_end_rle3d_matches_rle3(tmp_path):
                 np.testing.assert_array_equal(a, bb, err_msg=f)
                 walked += 1
     assert walked >= 4 * (4 + 4 + 1)  # states + options/proto + grids
+
+
+# ---- rle4 / rle4d (u8-length wire format + u16 extension stream) ----
+
+def test_rle4_matches_rle3_stream():
+    """frame(i) from the v4 wire format must equal the rle3 view
+    bit-for-bit, including long runs spliced from the LNX stream."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2, compact_rle3, compact_rle4, Rle3Frames)
+    # big uniform regions -> plenty of runs >255 px
+    imgs = np.stack([_img(30 + i, n_rects=5, H=128, W=128)
+                     for i in range(4)])
+    cap = 4096
+    ln2, co2, cnt2 = pack_batch_rle2(jnp.asarray(imgs), cap)
+    from reasoning_image_generation_tpu.ops.rle import PAL_K
+
+    def trim(packed):
+        """Truncate each stream to its true content, as the converged
+        adaptive tier would before shipping (io/transfer.py)."""
+        p = [np.asarray(a) for a in packed]
+        cnt = p[5 if len(p) == 9 else 4]
+        t = int(np.minimum(cnt, cap).sum())
+        nck = int(np.minimum(p[6 if len(p) == 9 else 5], PAL_K).sum())
+        e = int(p[7 if len(p) == 9 else 6].sum())
+        p[0], p[1], p[2], p[3] = p[0][:t], p[1][:t], p[2][:nck], p[3][:e]
+        if len(p) == 9:
+            p[4] = p[4][:int(p[8].sum())]
+        return p
+
+    fr3 = Rle3Frames(trim(compact_rle3(ln2, co2, cnt2)), cap)
+    fr4 = Rle3Frames(trim(compact_rle4(ln2, co2, cnt2)), cap)
+    assert fr4.LNX is not None and int(fr4.xc.sum()) > 0
+    assert fr4.LN.dtype == np.uint8
+    for i in range(4):
+        l3, c3 = fr3.frame(i)
+        l4, c4 = fr4.frame(i)
+        np.testing.assert_array_equal(l4, l3)
+        np.testing.assert_array_equal(c4, c3)
+        np.testing.assert_array_equal(fr4.unpack(i, (128, 128)), imgs[i])
+    # the byte win is the codec's reason to exist: 1 B/run saved on the
+    # length stream minus 2 B per >255-px run on the extension stream
+    assert fr4.nbytes_shipped() < fr3.nbytes_shipped()
+
+
+def test_rle4_forced_u16_split_roundtrip():
+    """A uniform frame larger than U16_RUN exercises both the 65535-px
+    forced split and the >255 extension path."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle4, Rle3Frames, U16_RUN)
+    img = np.full((300, 512, 3), 9, np.uint8)
+    packed = pack_batch_rle4(jnp.asarray(img[None]), 1024)
+    fr = Rle3Frames([np.asarray(a) for a in packed], 1024)
+    n = 300 * 512
+    assert int(fr.cnt[0]) == -(-n // U16_RUN)
+    assert int(fr.xc[0]) == int(fr.cnt[0])  # every run is >255 px
+    np.testing.assert_array_equal(fr.unpack(0, (300, 512)), img)
+
+
+def test_rle4_truncated_lnx_overflow_detected():
+    """A shrunken LNX stream flags only frames whose extension slice was
+    cut — earlier frames still decode exactly."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle4, Rle3Frames)
+    imgs = np.stack([_img(50 + i, n_rects=4, H=128, W=128)
+                     for i in range(4)])
+    cap = 4096
+    packed = [np.asarray(a) for a in pack_batch_rle4(jnp.asarray(imgs), cap)]
+    xc = packed[8]
+    assert all(int(x) > 0 for x in xc)
+    total_x = int(xc.sum())
+    packed[4] = packed[4][:total_x - int(xc[-1]) // 2 - 1]
+    fr = Rle3Frames(packed, cap)
+    assert fr.overflow_indices(4).tolist() == [3]
+    for i in range(3):
+        np.testing.assert_array_equal(fr.unpack(i, (128, 128)), imgs[i])
+    try:
+        fr.unpack(3, (128, 128))
+        raise AssertionError("expected OverflowError")
+    except OverflowError:
+        pass
+
+
+def test_rle4d_roundtrip_exact_chain():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2_delta, compact_rle4d, Rle3Frames)
+    seq = _seq(13, L=5, H=128, W=128)
+    cap = 4096
+    bases = np.concatenate([255 - seq[:1], seq[:-1]])
+    ln, co, cp, cnt = pack_batch_rle2_delta(
+        jnp.asarray(seq), jnp.asarray(bases), cap)
+    packed = compact_rle4d(ln, co, cp, cnt)
+    fr = Rle3Frames([np.asarray(a) for a in packed], cap, delta=True)
+    assert fr.overflow_indices(5).size == 0
+    prev = np.zeros_like(seq[0])
+    for t in range(5):
+        got = fr.unpack_delta(t, prev, (128, 128))
+        np.testing.assert_array_equal(got, seq[t])
+        prev = got
+
+
+def test_generator_end_to_end_rle4d_matches_rle3(tmp_path):
+    """Full export under the default v4 delta codec must write
+    pixel-identical PNGs and the same file set as rle3."""
+    import os
+    import dataclasses
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import (
+        RPMGeneratorTPU)
+    outs = {}
+    for codec in ("rle3", "rle4d"):
+        out = str(tmp_path / codec)
+        cfg = GenConfig(out_dir=out, seed=78, batch_size=4,
+                        canvas_size=(96, 96), sparse_transfer=True)
+        cfg = dataclasses.replace(cfg, transfer_codec=codec)
+        gen = RPMGeneratorTPU(cfg)
+        gen.generate_ids(list(range(4)))
+        gen.close()
+        outs[codec] = out
+    ref, got = outs["rle3"], outs["rle4d"]
+    walked = 0
+    for root, _dirs, files in os.walk(ref):
+        for f in sorted(files):
+            rp = os.path.join(root, f)
+            gp = rp.replace(ref, got, 1)
+            assert os.path.exists(gp), f"missing {gp}"
+            if f.endswith(".png"):
+                import cv2
+                a, bb = cv2.imread(rp), cv2.imread(gp)
+                np.testing.assert_array_equal(a, bb, err_msg=f)
+                walked += 1
+    assert walked >= 4 * (4 + 4 + 1)
