@@ -624,6 +624,19 @@ class RPMGeneratorTPU:
                 if m:
                     self.transfer_bytes += sum(a.nbytes for a in m.values())
                     self.overflow_frames += len(m)
+            if over_grid or over_state or over_opt:
+                # per-stream attribution: which shrunken slice got cut
+                why = {n: fr.overflow_reasons(f)
+                       for n, fr, f in (("grid", g_fr, n_real),
+                                        ("state", s_fr, n_real * L),
+                                        ("opt", o_fr, n_real * O))
+                       if fr is not None}
+                logger.info("overflow fallback %s: %s",
+                            {n: len(m) for n, m in (("grid", over_grid),
+                                                    ("state", over_state),
+                                                    ("opt", over_opt))
+                             if m},
+                            {n: w for n, w in why.items() if w})
         elif direct:
             from ...io.transfer import overflow_pixels
             over_grid = overflow_pixels(

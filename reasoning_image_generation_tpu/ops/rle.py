@@ -532,6 +532,28 @@ class Rle3Frames:
         return np.asarray([i for i in range(n_frames) if self._bad(i)],
                           np.int64)
 
+    def overflow_reasons(self, n_frames: int) -> dict:
+        """Per-stream attribution of overflowed frames ('T'/'E'/'P'/'X'
+        counts; one frame can hit several).  Diagnostic only — the
+        decode path uses overflow_indices."""
+        out = {"T": 0, "E": 0, "P": 0, "X": 0}
+        for i in range(n_frames):
+            if not self._bad(i):
+                continue
+            c, e = int(self.cnt[i]), int(self.ec[i])
+            nck = min(int(self.nc[i]), self.pal_k)
+            if c > self.cap or (c > 0
+                                and self.off[i] + c > self.LN.shape[0]):
+                out["T"] += 1
+            if e > 0 and self.eoff[i] + e > self.ESC.shape[0]:
+                out["E"] += 1
+            if nck > 0 and self.poff[i] + nck > self.PAL.shape[0]:
+                out["P"] += 1
+            if (self.xc is not None and int(self.xc[i]) > 0
+                    and self.xoff[i] + int(self.xc[i]) > self.LNX.shape[0]):
+                out["X"] += 1
+        return {k: v for k, v in out.items() if v}
+
     def frame(self, i: int):
         """(lengths, rgb) of frame i; delta streams additionally return
         the per-run copy mask as a third element."""

@@ -518,3 +518,23 @@ def test_generator_end_to_end_rle4d_matches_rle3(tmp_path):
                 np.testing.assert_array_equal(a, bb, err_msg=f)
                 walked += 1
     assert walked >= 4 * (4 + 4 + 1)
+
+
+def test_overflow_reasons_attribution():
+    """overflow_reasons names the stream whose shrunken slice was cut."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle4, Rle3Frames)
+    imgs = np.stack([_img(90 + i, n_rects=4, H=128, W=128)
+                     for i in range(4)])
+    packed = [np.asarray(a) for a in pack_batch_rle4(jnp.asarray(imgs), 4096)]
+    fr = Rle3Frames(packed, 4096)
+    assert fr.overflow_reasons(4) == {}
+    cut = list(packed)
+    cut[4] = cut[4][:int(packed[8][:3].sum())]   # drop frame 3's LNX slice
+    fr2 = Rle3Frames(cut, 4096)
+    assert fr2.overflow_reasons(4) == {"X": 1}
+    cut2 = list(packed)
+    tot = int(np.minimum(packed[5], 4096).sum())
+    cut2[0] = cut2[0][:tot - 1]                  # clip the length stream
+    fr3 = Rle3Frames(cut2, 4096)
+    assert fr3.overflow_reasons(4) == {"T": 1}
