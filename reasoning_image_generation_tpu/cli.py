@@ -55,6 +55,10 @@ def parse_args(argv=None):
                    help="export only grid_%%06d.png + meta/coco; per-frame "
                         "state/option images never leave the device "
                         "(~9x fewer bytes across the host link)")
+    p.add_argument("--pretty_json", action="store_true",
+                   help="write meta/coco JSON with indent=2 (the "
+                        "reference's byte format); default is compact "
+                        "JSON on the C encoder, same content")
     p.add_argument("--no_aot", action="store_true",
                    help="disable the AOT executable cache (utils/aot.py); "
                         "cold starts then re-trace + re-compile each leaf "
@@ -245,7 +249,7 @@ def main(argv=None):
     cfg = GenConfig(out_dir=args.out_dir, grid_size=args.grid, seed=args.seed,
                     batch_size=args.batch_size,
                     sparse_transfer=args.sparse, grid_only=args.grid_only,
-                    aot=not args.no_aot)
+                    aot=not args.no_aot, pretty_json=args.pretty_json)
     workers = args.workers if args.workers is not None else 8
     gen = RPMGeneratorTPU(cfg, io_workers=max(1, workers),
                           use_threads=workers != 0,

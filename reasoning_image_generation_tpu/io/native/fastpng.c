@@ -122,6 +122,43 @@ static int write_png_core(const char *path, unsigned char *raw,
  * all zeros) and single-color rows (Sub filter, zeros after pixel 0);
  * both skip the 3-filter trial loop (~10x fewer ops on those rows).
  * `raw` receives height * (stride+1) filtered bytes. */
+/* Fixed-filter variant for fast levels: Up when a previous row exists,
+ * Sub for the first row, keeping the two O(stride) flat-row shortcuts.
+ * At Z_RLE (level <= 2) the adaptive trial buys nothing measurable on
+ * rendered canvases (same 14 KB on a production grid) but costs ~27% of
+ * the encode (2.37 -> 1.73 ms/img measured), so fast levels skip it. */
+static int filter_rgb_rows_fast(const unsigned char *rgb, int height,
+                                int width, unsigned char *raw) {
+    const int bpp = 3;
+    const size_t stride = (size_t)width * bpp;
+    int y, x;
+    for (y = 0; y < height; ++y) {
+        const unsigned char *row = rgb + (size_t)y * stride;
+        const unsigned char *prev = y ? rgb + (size_t)(y - 1) * stride : NULL;
+        unsigned char *dst = raw + (size_t)y * (stride + 1);
+        if (prev && memcmp(row, prev, stride) == 0) {
+            dst[0] = 2; memset(dst + 1, 0, stride); continue;
+        }
+        if (memcmp(row + bpp, row, stride - bpp) == 0) {
+            dst[0] = 1;
+            memcpy(dst + 1, row, bpp);
+            memset(dst + 1 + bpp, 0, stride - bpp);
+            continue;
+        }
+        if (prev) {
+            dst[0] = 2;
+            for (x = 0; x < (int)stride; ++x)
+                dst[1 + x] = (unsigned char)(row[x] - prev[x]);
+        } else {
+            dst[0] = 1;
+            for (x = 0; x < (int)stride; ++x)
+                dst[1 + x] = (unsigned char)(row[x]
+                                             - (x >= bpp ? row[x - bpp] : 0));
+        }
+    }
+    return 0;
+}
+
 static int filter_rgb_rows(const unsigned char *rgb, int height, int width,
                            unsigned char *raw) {
     const int bpp = 3;
@@ -181,7 +218,9 @@ int fastpng_write(const char *path, const unsigned char *rgb,
     unsigned char *raw = (unsigned char *)malloc(raw_len);
     int rc;
     if (!raw) return -2;
-    rc = filter_rgb_rows(rgb, height, width, raw);
+    rc = (level >= 0 && level <= 2 ? filter_rgb_rows_fast
+                               : filter_rgb_rows)(
+        rgb, height, width, raw);
     if (rc == 0)
         rc = write_png_core(path, raw, raw_len, height, width, 2,
                             NULL, 0, level);
@@ -255,7 +294,9 @@ int fastpng_write_rle_overlay(const char *path,
     rc = decode_runs_rgb(lengths, colors, count, n, rgb);
     if (rc == 0) {
         blend_overlay(rgb, ov_rgb, ov_a, n);
-        rc = filter_rgb_rows(rgb, height, width, raw);
+        rc = (level >= 0 && level <= 2 ? filter_rgb_rows_fast
+                               : filter_rgb_rows)(
+        rgb, height, width, raw);
         if (rc == 0)
             rc = write_png_core(path, raw, raw_len, height, width, 2,
                                 NULL, 0, level);
@@ -356,7 +397,9 @@ int fastpng_write_rle(const char *path, const unsigned short *lengths,
         if (!rgb || !raw) { free(rgb); free(raw); return -2; }
         rc = decode_runs_rgb(lengths, colors, count, n, rgb);
         if (rc == 0)
-            rc = filter_rgb_rows(rgb, height, width, raw);
+            rc = (level >= 0 && level <= 2 ? filter_rgb_rows_fast
+                               : filter_rgb_rows)(
+        rgb, height, width, raw);
         if (rc == 0)
             rc = write_png_core(path, raw, raw_len, height, width, 2,
                                 NULL, 0, level);

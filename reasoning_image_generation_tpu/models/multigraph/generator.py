@@ -96,8 +96,12 @@ def _finalize_record(rec: Dict, scene: Dict, bounds, dpi: int,
         if d:
             ensure_dir(d)
         import json
+        # compact (C-encoder) by default, like io/writer.py::submit_json;
+        # the reference writes indent=2 (multigraph_generation/
+        # generator.py:444) — same content, different whitespace
         with open(params_save_path, "w", encoding="utf-8") as f:
-            json.dump(rec, f, ensure_ascii=False, indent=2)
+            f.write(json.dumps(rec, ensure_ascii=False,
+                               separators=(",", ":")))
 
 
 class GeometryGeneratorTPU:
@@ -148,12 +152,9 @@ class GeometryGeneratorTPU:
         n = len(jax.local_devices())
         return make_mesh(n) if n > 1 else None
 
-    def _render_dispatch(self, batch, dpi: int) -> Dict:
-        """Dispatch render + RLE pack + blob coalesce on device and start
-        the device->host copy; returns a pending-state dict for
-        `_render_finish`.  Nothing here blocks on device completion, so a
-        caller can overlap the next batch's host work (scene build, QC,
-        export) with this batch's device render + transfer."""
+    def _render_imgs(self, batch, dpi: int):
+        """Dispatch the (AOT-cached) batch render; returns the async
+        device image tensor."""
         if self.renderer == "pallas":
             from .renderer_pallas import render_scene_batch_pallas as rfn
         else:
@@ -187,7 +188,19 @@ class GeometryGeneratorTPU:
             self._aot[tag] = (load_or_compile(
                 tag, call, avals, enabled=self._aot_enabled,
                 spans_all_devices=on_mesh and spans_all) or call)
-        imgs = self._aot[tag](batch)
+        return self._aot[tag](batch)
+
+    def _render_dispatch(self, imgs, extra=None) -> Dict:
+        """RLE-pack + blob coalesce on device and start the device->host
+        copy; returns a pending-state dict for `_render_finish`.  Nothing
+        here blocks on device completion, so a caller can overlap the
+        next batch's host work (scene build, QC, export) with this
+        batch's device render + transfer.
+
+        `extra` (optional dict of device arrays, e.g. the dedup keep
+        mask) rides INSIDE the coalesced blob: the relay charges ~0.4 s
+        per transfer under load, so a second tiny fetch per batch costs
+        as much as the whole stream."""
         # device->host: RLE-pack on device and move ONE coalesced blob —
         # a raw 1600^2 batch is 7.7 MB/img on a relay that charges per
         # transfer and gives 4-28 MB/s (io/transfer.py); outline scenes
@@ -200,7 +213,8 @@ class GeometryGeneratorTPU:
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
         budget = default_budget(H, W)
         packed = pack_batch_rle4(imgs, budget)
-        leaves, treedef, specs = blob_specs(packed)
+        tree = packed if extra is None else (packed, extra)
+        leaves, treedef, specs = blob_specs(tree)
         # 'mg4': the v4 wire format adds the X stream stat; a fresh
         # namespace keeps old rle3 tier stats from masking its absence
         skey = f"mg4:{H}x{W}"
@@ -221,6 +235,7 @@ class GeometryGeneratorTPU:
                  None if tE is None else (0, tE),
                  None if tX is None else (0, tX),
                  None, None, None, None)
+        sizes += (None,) * (len(leaves) - len(sizes))  # extras ship whole
         if any(s is not None for s in sizes):
             blob = coalesce_flat_shrunk(leaves, sizes)
             specs = shrunk_specs(leaves, sizes)
@@ -229,16 +244,18 @@ class GeometryGeneratorTPU:
         getattr(blob, "copy_to_host_async", lambda: None)()
         return {"blob": blob, "treedef": treedef, "specs": specs,
                 "skey": skey, "imgs": imgs, "hw": (H, W),
-                "budget": budget}
+                "budget": budget, "has_extra": extra is not None}
 
     def _render_finish(self, st: Dict):
         """Block on the pending transfer from `_render_dispatch` and
-        build the host-side frame views (+ raw overflow frames)."""
+        build the host-side frame views (+ raw overflow frames + any
+        blob-carried extras)."""
         from ...io.transfer import split_flat, gather_frames
         from ...ops.rle import Rle3Frames, PAL_K
         blob = np.asarray(st["blob"])
         self.transfer_bytes += blob.nbytes
-        packed = split_flat(blob, st["treedef"], st["specs"])
+        tree = split_flat(blob, st["treedef"], st["specs"])
+        packed, extra = (tree if st.get("has_extra") else (tree, None))
         frames = Rle3Frames(packed, st["budget"])
         skey = st["skey"]
         F = max(frames.cnt.size, 1)
@@ -253,7 +270,7 @@ class GeometryGeneratorTPU:
         over = gather_frames(st["imgs"], frames.overflow_indices(F))
         if over:
             self.transfer_bytes += sum(a.nbytes for a in over.values())
-        return frames, over, st["hw"]
+        return frames, over, st["hw"], extra
 
     def generate(self, mode: str = "random", save_path: Optional[str] = None,
                  params_save_path: Optional[str] = None, dpi: int = 200,
@@ -318,13 +335,18 @@ class GeometryGeneratorTPU:
                         dpi: int) -> Dict:
         n = len(seeds)
         batch, metas = build_scene_batch(seeds, modes, self.global_scale)
-        st = self._render_dispatch(batch, dpi)
+        imgs = self._render_imgs(batch, dpi)
+        handle = extra = None
         if self._corpus is not None:
-            # device-resident pHash of the rendered batch; only the keep
-            # mask crosses the host link (resolved in _finish_batch)
+            # device-resident pHash of the rendered batch; the keep mask
+            # rides INSIDE the coalesced blob (single-device path) so
+            # dedup adds zero extra transfers per batch
             from ...ops.phash import phash_batch
-            st["_keep_handle"] = self._corpus.submit(
-                phash_batch(st["imgs"]), n)
+            handle = self._corpus.submit(phash_batch(imgs), n)
+            if handle[0] == "dev":
+                extra = {"keep": handle[1]}
+        st = self._render_dispatch(imgs, extra)
+        st["_keep_handle"] = handle
         st.update(seeds=seeds, modes=modes, dpi=dpi,
                   save_paths=save_paths or [None] * n,
                   params_save_paths=params_save_paths or [None] * n,
@@ -337,10 +359,14 @@ class GeometryGeneratorTPU:
                                          st["params_save_paths"])
         batch, metas, dpi = st["batch"], st["metas"], st["dpi"]
         n = len(seeds)
-        frames, over, (H, W) = self._render_finish(st)
+        frames, over, (H, W), extra = self._render_finish(st)
         handle = st.get("_keep_handle")
-        keep = (self._corpus.resolve(handle) if handle is not None
-                else np.ones(n, bool))
+        if extra is not None:
+            keep = extra["keep"][:n].astype(bool)
+        elif handle is not None:
+            keep = self._corpus.resolve(handle)
+        else:
+            keep = np.ones(n, bool)
 
         records = []
         for i in range(n):

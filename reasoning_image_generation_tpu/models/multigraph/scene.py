@@ -57,15 +57,29 @@ def hex_to_rgb(c: str) -> Tuple[float, float, float]:
 
 def _resample(pts: np.ndarray, n: int = NV) -> np.ndarray:
     """Pad/resample a closed polygon outline to exactly n vertices by
-    splitting the longest edges (keeps corners exact)."""
+    splitting the longest edges (keeps corners exact).
+
+    Implemented as a piece list instead of repeated np.insert — the
+    one-roll-one-insert-per-vertex loop was ~30% of the whole mg scene
+    build.  Semantics are bit-identical to the original loop: greedy
+    longest-piece halving in polygon order, first-max tie-break
+    (np.argmax), lengths recomputed with np.hypot at each split."""
     pts = np.asarray(pts, np.float64)
-    while len(pts) < n:
-        seg = np.roll(pts, -1, 0) - pts
-        lengths = np.hypot(seg[:, 0], seg[:, 1])
-        i = int(np.argmax(lengths))
-        mid = (pts[i] + pts[(i + 1) % len(pts)]) / 2
-        pts = np.insert(pts, i + 1, mid, axis=0)
-    return pts[:n].astype(np.float32)
+    m = len(pts)
+    if m >= n:
+        return pts[:n].astype(np.float32)
+    # pieces in polygon order: [start_point, end_point, length]
+    seg = np.concatenate([pts[1:], pts[:1]]) - pts
+    lens = np.hypot(seg[:, 0], seg[:, 1])
+    pieces = [[pts[i], pts[(i + 1) % m], float(lens[i])] for i in range(m)]
+    for _ in range(n - m):
+        i = max(range(len(pieces)), key=lambda j: pieces[j][2])
+        p0, p1, _L = pieces[i]
+        mid = (p0 + p1) / 2
+        d0, d1 = mid - p0, p1 - mid
+        pieces[i:i + 1] = [[p0, mid, float(np.hypot(d0[0], d0[1]))],
+                           [mid, p1, float(np.hypot(d1[0], d1[1]))]]
+    return np.asarray([pc[0] for pc in pieces[:n]], np.float32)
 
 
 def circle_poly(c, r) -> np.ndarray:

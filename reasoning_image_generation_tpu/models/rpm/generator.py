@@ -805,12 +805,17 @@ class RPMGeneratorTPU:
                 self.cfg.canvas_size, layout, self.cfg.seed,
                 (self.cfg.seed or 0) + sid, grid_only=grid_only)
             meta["grid_phash"] = bytes(phashes[b]).hex()
+            pretty = getattr(self.cfg, "pretty_json", False)
             if self.cfg.export_json:
-                self._pool.submit_json(os.path.join(sample_dir, "meta.json"), meta)
+                self._pool.submit_json(
+                    os.path.join(sample_dir, "meta.json"), meta,
+                    pretty=pretty)
             if self.cfg.export_coco:
                 coco = build_coco(sid, leaf, grid_path, self.out_dir,
                                   layout.grid_h, meta["cells_meta"])
-                self._pool.submit_json(os.path.join(sample_dir, "coco.json"), coco)
+                self._pool.submit_json(
+                    os.path.join(sample_dir, "coco.json"), coco,
+                    pretty=pretty)
             metas[sid] = meta
 
     def close(self):

@@ -127,6 +127,11 @@ class GenConfig:
     # (default_budget), grid_h*W/12 for grids (default_grid_budget)
     rle_budget: int = 0
     rle_budget_grid: int = 0
+    # meta/coco JSON formatting: False (default) writes compact JSON on
+    # the C-accelerated encoder (6x faster; ~2-4 s of a 1k window);
+    # True restores the reference's indent=2 byte format (reference
+    # src/generator.py:596) — identical content either way
+    pretty_json: bool = False
     # export only grid_%06d.png + meta/coco (per-frame state/option images
     # never leave the device): ~9x fewer bytes across the host link for
     # consumers that train on the composed puzzle alone

@@ -186,8 +186,8 @@ def test_mg_render_aot_parity(aot_sandbox):
         modes = (["nested", "adjacent", "intersecting", "random"] * n)[:n]
         batch, _ = build_scene_batch(list(range(n)), modes, 1.3)
         dpi = 25
-        st_on = gen_on._render_dispatch(batch, dpi)
-        st_off = gen_off._render_dispatch(batch, dpi)
+        st_on = gen_on._render_dispatch(gen_on._render_imgs(batch, dpi))
+        st_off = gen_off._render_dispatch(gen_off._render_imgs(batch, dpi))
         np.testing.assert_array_equal(np.asarray(st_on["imgs"]),
                                       np.asarray(st_off["imgs"]))
         if gen_on.mesh is not None:

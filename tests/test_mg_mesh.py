@@ -18,7 +18,7 @@ def test_mg_generator_builds_mesh_and_matches_unsharded(tmp_path):
         render_scene_batch)
 
     def decode(rendered):
-        frames, over, (H, W) = rendered
+        frames, over, (H, W), _extra = rendered
         out = []
         for i in range(frames.cnt.size):
             out.append(over[i] if i in over else frames.unpack(i, (H, W)))
@@ -30,13 +30,13 @@ def test_mg_generator_builds_mesh_and_matches_unsharded(tmp_path):
     seeds = list(range(8))
     modes = ["adjacent"] * 8
     batch, _ = build_scene_batch(seeds, modes, gen.global_scale)
-    sharded = decode(gen._render_finish(gen._render_dispatch(batch, TEST_DPI)))
+    sharded = decode(gen._render_finish(gen._render_dispatch(gen._render_imgs(batch, TEST_DPI))))
     plain = np.asarray(render_scene_batch(batch, dpi=TEST_DPI))
     np.testing.assert_array_equal(sharded, plain)
 
     # ragged batch (not divisible by mesh size) falls back to unsharded
     batch3, _ = build_scene_batch(seeds[:3], modes[:3], gen.global_scale)
-    out3 = decode(gen._render_finish(gen._render_dispatch(batch3, TEST_DPI)))
+    out3 = decode(gen._render_finish(gen._render_dispatch(gen._render_imgs(batch3, TEST_DPI))))
     assert out3.shape[0] == 3
     np.testing.assert_array_equal(out3, plain[:3])
     gen.close()
