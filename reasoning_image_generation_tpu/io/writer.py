@@ -68,6 +68,16 @@ class ExportPool:
         else:
             self._futures.append(self._pool.submit(fn, *args))
 
+    def submit_task(self, fn, *args):
+        """Like `submit`, but the caller wants the RESULT back: returns a
+        Future (or the value itself in synchronous mode).  The task must
+        not raise — drain() re-raises worker exceptions."""
+        if self._pool is None:
+            return fn(*args)
+        f = self._pool.submit(fn, *args)
+        self._futures.append(f)
+        return f
+
     def submit_json(self, path: str, obj, pretty: bool = False):
         """JSON export.  Compact by default: indent=None keeps json on
         its C-accelerated encoder (measured 6x faster than the indented

@@ -20,6 +20,7 @@ Output directory layout is identical to the reference:
 """
 from __future__ import annotations
 
+import json
 import logging
 import os
 import random
@@ -52,6 +53,55 @@ from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
                             split_flat as _split_flat,
                             gather_frames as _gather_frames,
                             unpack_images as _unpack_images, HostBufferRing)
+
+
+def _resolve_meta(m):
+    """metas[] values are dicts or pool Futures of dicts (see _meta_task);
+    call only after the export pool drained."""
+    return m.result() if hasattr(m, "result") else m
+
+
+def _meta_task(sid, leaf, path, out_dir, sample_dir, grid_path, states_np,
+               options_np, params_np, b, perm, correct, use_grid, grid_size,
+               canvas_size, layout, seed, phash_hex, grid_only, export_json,
+               export_coco, pretty):
+    """Pool task: slice the batch trees, build meta (+ coco) and write the
+    JSONs.  Was ~1.5-2 s of main-thread work per 1k window (the per-sample
+    tree.map slicing plus build_sample_meta's float conversion storm);
+    returns the meta dict — generate_ids resolves the Future before
+    returning.  Must not raise (drain() re-raises worker exceptions), so
+    failures degrade to the per-sample error-record shape."""
+    try:
+        sample_states = jax.tree.map(lambda a: a[b], states_np)
+        sample_options = jax.tree.map(lambda a: a[b], options_np)
+        sample_params = jax.tree.map(lambda a: a[b], params_np)
+        meta = build_sample_meta(
+            sid, leaf, path, out_dir, sample_dir, grid_path,
+            sample_states, sample_options, perm, correct,
+            sample_params, use_grid, grid_size, canvas_size, layout,
+            seed, (seed or 0) + sid, grid_only=grid_only)
+        meta["grid_phash"] = phash_hex
+        if export_json:
+            data = json.dumps(
+                meta, ensure_ascii=False, indent=2 if pretty else None,
+                separators=None if pretty else (",", ":"))
+            with open(os.path.join(sample_dir, "meta.json"), "w",
+                      encoding="utf-8") as f:
+                f.write(data)
+        if export_coco:
+            coco = build_coco(sid, leaf, grid_path, out_dir,
+                              layout.grid_h, meta["cells_meta"])
+            data = json.dumps(
+                coco, ensure_ascii=False, indent=2 if pretty else None,
+                separators=None if pretty else (",", ":"))
+            with open(os.path.join(sample_dir, "coco.json"), "w",
+                      encoding="utf-8") as f:
+                f.write(data)
+        return meta
+    except Exception as e:  # pragma: no cover - defensive
+        logger.error("meta build failed for sample %d: %s", sid, e)
+        return {"index": int(sid), "error": True,
+                "error_type": str(type(e)), "error_message": str(e)}
 
 
 def _write_delta_sample(s_fr, o_fr, over_state, over_opt, b: int, L: int,
@@ -225,7 +275,7 @@ class RPMGeneratorTPU:
             out = jax.tree.map(lambda a: a[:1], out)
             self._flush((leaf, pipe, entry, out), metas)
             self._pool.drain()
-            meta = metas.get(sample_id)
+            meta = _resolve_meta(metas.get(sample_id))
             return None if (meta and meta.get("error")) else meta
         metas = self.generate_ids([sample_id])
         meta = metas[0] if metas else None
@@ -410,6 +460,16 @@ class RPMGeneratorTPU:
                         val = transfer[key]
                         transfer[key] = (c_delta(*val) if len(val) == 4
                                          else c_plain(*val))
+            keep_handle = None
+            if self._corpus is not None:
+                # dispatch the dedup step now so the keep mask can ride
+                # INSIDE the coalesced blob (single-device path): the
+                # relay charges ~0.4 s per transfer under load, so a
+                # separate tiny mask fetch costs as much as the stream
+                keep_handle = self._corpus.submit(out["grid_phash"],
+                                                  n_real)
+                if keep_handle[0] == "dev":
+                    transfer["_keep"] = keep_handle[1]
             flat_blob = codec in ("rle3", "rle3d", "rle4", "rle4d")
             leaves, treedef, specs = _blob_specs(transfer)
             sizes = self._shrink_sizes(leaf, transfer)
@@ -425,9 +485,8 @@ class RPMGeneratorTPU:
             # even shards and device residency)
             raw = {k: out[k] for k in skip if k in out}
             raw["grid_phash_full"] = out["grid_phash"]
-            if self._corpus is not None:
-                raw["_keep_handle"] = self._corpus.submit(
-                    out["grid_phash"], n_real)
+            if keep_handle is not None:
+                raw["_keep_handle"] = keep_handle
 
             if pending is not None:
                 done += self._flush(pending, metas)
@@ -444,7 +503,8 @@ class RPMGeneratorTPU:
                 logger.info("generated %d samples (%.2f samples/s)",
                             done, done / max(dt, 1e-9))
         self._pool.drain()
-        return [metas[i] for i in sorted(metas)]
+        # meta builds run on the pool (Futures); all done after the drain
+        return [_resolve_meta(metas[i]) for i in sorted(metas)]
 
     def _flush(self, pending, metas) -> int:
         """Export one batch; failures become per-sample error records in the
@@ -690,8 +750,13 @@ class RPMGeneratorTPU:
         correct = np.asarray(out["correct_index"])
 
         handle = out.get("_keep_handle")
-        keep = (self._corpus.resolve(handle) if handle is not None
-                else np.ones(len(chunk), bool))
+        if "_keep" in out:
+            # blob-carried keep mask (single-device dedup): no extra fetch
+            keep = np.asarray(out["_keep"]).reshape(-1)[:n_real].astype(bool)
+        elif handle is not None:
+            keep = self._corpus.resolve(handle)
+        else:
+            keep = np.ones(len(chunk), bool)
         # per-sample grid pHash (16 hex chars) rides along in the meta so a
         # later merge can dedup ACROSS independent hosts without any
         # lockstep collective (cli.merge_host_indexes)
@@ -795,28 +860,16 @@ class RPMGeneratorTPU:
                     grid_path, g_ln[b], g_co[b], int(g_cnt[b]), gh, gw,
                     overlay=(layout.overlay_rgb_u8, layout.overlay_a8))
 
-            sample_states = jax.tree.map(lambda a: a[b], states_np)
-            sample_options = jax.tree.map(lambda a: a[b], options_np)
-            sample_params = jax.tree.map(lambda a: a[b], params_np)
-            meta = build_sample_meta(
-                sid, leaf, path, self.out_dir, sample_dir, grid_path,
-                sample_states, sample_options, perm, int(correct[b]),
-                sample_params, bool(use_grid), self.cfg.grid_size,
+            # meta/coco build + write is a pool task — metas[sid] holds a
+            # Future that generate_ids resolves after the final drain
+            metas[sid] = self._pool.submit_task(
+                _meta_task, sid, leaf, path, self.out_dir, sample_dir,
+                grid_path, states_np, options_np, params_np, b, perm,
+                int(correct[b]), bool(use_grid), self.cfg.grid_size,
                 self.cfg.canvas_size, layout, self.cfg.seed,
-                (self.cfg.seed or 0) + sid, grid_only=grid_only)
-            meta["grid_phash"] = bytes(phashes[b]).hex()
-            pretty = getattr(self.cfg, "pretty_json", False)
-            if self.cfg.export_json:
-                self._pool.submit_json(
-                    os.path.join(sample_dir, "meta.json"), meta,
-                    pretty=pretty)
-            if self.cfg.export_coco:
-                coco = build_coco(sid, leaf, grid_path, self.out_dir,
-                                  layout.grid_h, meta["cells_meta"])
-                self._pool.submit_json(
-                    os.path.join(sample_dir, "coco.json"), coco,
-                    pretty=pretty)
-            metas[sid] = meta
+                bytes(phashes[b]).hex(), grid_only,
+                self.cfg.export_json, self.cfg.export_coco,
+                getattr(self.cfg, "pretty_json", False))
 
     def close(self):
         from ...utils.cache import save_run_stats
