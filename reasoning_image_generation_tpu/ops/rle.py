@@ -344,7 +344,8 @@ def _compact(values: jnp.ndarray, counts: jnp.ndarray, cap_out: int):
         values.reshape((-1,) + values.shape[2:]), mode="drop")
 
 
-def _compact_rle3_impl(lengths, rgb, count, copy, k: int, ln8: bool = False):
+def _compact_rle3_impl(lengths, rgb, count, copy, k: int,
+                       ln_mode: str = "u16"):
     lead = count.shape
     cap = lengths.shape[-1]
     ln = lengths.reshape(-1, cap)
@@ -372,7 +373,7 @@ def _compact_rle3_impl(lengths, rgb, count, copy, k: int, ln8: bool = False):
     ESC = _compact(esc_f, ec, F * cap)
     nck = jnp.minimum(nc, k)
     PAL = _compact(pal, nck, F * PAL_K)
-    if not ln8:
+    if ln_mode == "u16":
         LN = _compact(ln, c, F * cap)
         return (LN, IDX, PAL, ESC, cnt.reshape(lead), nc.reshape(lead),
                 ec.reshape(lead))
@@ -391,9 +392,40 @@ def _compact_rle3_impl(lengths, rgb, count, copy, k: int, ln8: bool = False):
     lnx_f = jax.vmap(lambda t, v, buf: buf.at[t].set(v, mode="drop"))(
         xtgt, ln, lnx_f)
     LNX = _compact(lnx_f, xc, F * cap)
-    LN8 = _compact(jnp.where(big, 0, ln).astype(jnp.uint8), c, F * cap)
-    return (LN8, IDX, PAL, ESC, LNX, cnt.reshape(lead), nc.reshape(lead),
-            ec.reshape(lead), xc.reshape(lead))
+    if ln_mode == "u8":
+        LN8 = _compact(jnp.where(big, 0, ln).astype(jnp.uint8), c, F * cap)
+        return (LN8, IDX, PAL, ESC, LNX, cnt.reshape(lead),
+                nc.reshape(lead), ec.reshape(lead), xc.reshape(lead))
+    # v5 wire format ("bm1"): even the u8 length byte is dead weight on
+    # the MAJORITY of runs — the median production run is a single AA
+    # edge pixel.  Each live run contributes ONE BIT to a per-frame
+    # bitmask (1 = length 1); only runs with length != 1 ship a length
+    # byte, compacted within the frame in run order exactly like the
+    # escapes (0 still marks a >255 run whose true u16 rides LNX, a
+    # subset of the != 1 runs, so the two in-frame orders agree).
+    # Per-frame bitmask bytes = ceil(c/8), byte-aligned so the host can
+    # np.unpackbits each frame's slice independently (little bit order).
+    assert ln_mode == "bm1", ln_mode
+    live = jnp.arange(cap, dtype=jnp.int32)[None, :] < c[:, None]
+    one = live & (ln == 1)
+    capp = -(-cap // 8) * 8
+    one_p = jnp.pad(one, ((0, 0), (0, capp - cap)))
+    weights = (jnp.uint32(1) << jnp.arange(8, dtype=jnp.uint32))
+    bm_f = (one_p.reshape(F, capp // 8, 8).astype(jnp.uint32)
+            * weights[None, None, :]).sum(-1).astype(jnp.uint8)
+    bc = (c + 7) // 8                          # live bitmask bytes/frame
+    BM = _compact(bm_f, bc, F * (capp // 8))
+    notone = live & (ln != 1)
+    sc = jnp.sum(notone, axis=1).astype(jnp.int32)
+    spos = jnp.cumsum(notone, axis=1) - 1
+    stgt = jnp.where(notone, spos, cap)
+    ln8s_f = jnp.zeros((F, cap), jnp.uint8)
+    ln8s_f = jax.vmap(lambda t, v, buf: buf.at[t].set(v, mode="drop"))(
+        stgt, jnp.where(big, 0, ln).astype(jnp.uint8), ln8s_f)
+    LNS = _compact(ln8s_f, sc, F * cap)
+    return (BM, LNS, IDX, PAL, ESC, LNX, cnt.reshape(lead),
+            nc.reshape(lead), ec.reshape(lead), xc.reshape(lead),
+            sc.reshape(lead))
 
 
 @partial(jax.jit, static_argnames=())
@@ -428,7 +460,8 @@ def compact_rle4(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
 
     Returns (LN8 u8 [Tcap], IDX u8 [Tcap], PAL u8 [Pcap, 3],
     ESC u8 [Ecap, 3], LNX u16 [Xcap], cnt, nc, ec, xc)."""
-    return _compact_rle3_impl(lengths, rgb, count, None, PAL_K, ln8=True)
+    return _compact_rle3_impl(lengths, rgb, count, None, PAL_K,
+                              ln_mode="u8")
 
 
 @partial(jax.jit, static_argnames=())
@@ -437,7 +470,27 @@ def compact_rle4d(lengths: jnp.ndarray, rgb: jnp.ndarray,
     """Delta rle2 streams -> compacted v4 transfer (compact_rle3d with the
     u8-length wire format; copy runs still carry IDX=COPY_MARK)."""
     return _compact_rle3_impl(lengths, rgb, count, copy, COPY_MARK,
-                              ln8=True)
+                              ln_mode="u8")
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle5(lengths: jnp.ndarray, rgb: jnp.ndarray, count: jnp.ndarray):
+    """rle4 with the v5 wire format: a 1-bit-per-run "length is 1" bitmask
+    replaces the length byte on single-pixel runs (the production median).
+
+    Returns (BM u8 [Bcap], LNS u8 [Scap], IDX u8 [Tcap], PAL u8 [Pcap, 3],
+    ESC u8 [Ecap, 3], LNX u16 [Xcap], cnt, nc, ec, xc, sc)."""
+    return _compact_rle3_impl(lengths, rgb, count, None, PAL_K,
+                              ln_mode="bm1")
+
+
+@partial(jax.jit, static_argnames=())
+def compact_rle5d(lengths: jnp.ndarray, rgb: jnp.ndarray,
+                  copy: jnp.ndarray, count: jnp.ndarray):
+    """Delta rle2 streams -> compacted v5 transfer (copy runs still carry
+    IDX=COPY_MARK; length-1 copy runs ride the bitmask like any other)."""
+    return _compact_rle3_impl(lengths, rgb, count, copy, COPY_MARK,
+                              ln_mode="bm1")
 
 
 @partial(jax.jit, static_argnames=("max_runs",))
@@ -453,6 +506,13 @@ def pack_batch_rle4(imgs: jnp.ndarray, max_runs: int):
     """Render batch -> compacted rle4 transfer tuple in ONE dispatch."""
     ln, co, cnt = pack_batch_rle2(imgs, max_runs)
     return compact_rle4(ln, co, cnt)
+
+
+@partial(jax.jit, static_argnames=("max_runs",))
+def pack_batch_rle5(imgs: jnp.ndarray, max_runs: int):
+    """Render batch -> compacted rle5 transfer tuple in ONE dispatch."""
+    ln, co, cnt = pack_batch_rle2(imgs, max_runs)
+    return compact_rle5(ln, co, cnt)
 
 
 def rle3_offsets(cnt: np.ndarray, nc: np.ndarray, ec: np.ndarray, cap: int,
@@ -481,18 +541,33 @@ class Rle3Frames:
     9-tuples (compact_rle4/compact_rle4d) carry the v4 wire format:
     LN is u8 and runs >255 pull their true u16 length from the LNX
     extension stream (detected by tuple arity; everything else is
-    identical)."""
+    identical).
+
+    11-tuples (compact_rle5/compact_rle5d) carry the v5 wire format:
+    per-frame byte-aligned bitmask BM (bit set = run length 1, little
+    bit order), LNS holding u8 lengths of the != 1 runs only (0 still
+    marking >255 runs extended via LNX)."""
 
     def __init__(self, packed, cap: int, delta: bool = False):
-        if len(packed) == 9:
+        self.BM = self.LNS = self.sc = None
+        if len(packed) == 11:
+            BM, LNS, IDX, PAL, ESC, LNX, cnt, nc, ec, xc, sc = packed
+            self.BM = np.asarray(BM)
+            self.LNS = np.asarray(LNS)
+            self.sc = np.asarray(sc).reshape(-1)
+            self.LN = None
+            self.LNX = np.asarray(LNX)
+            self.xc = np.asarray(xc).reshape(-1)
+        elif len(packed) == 9:
             LN, IDX, PAL, ESC, LNX, cnt, nc, ec, xc = packed
+            self.LN = np.asarray(LN)
             self.LNX = np.asarray(LNX)
             self.xc = np.asarray(xc).reshape(-1)
         else:
             LN, IDX, PAL, ESC, cnt, nc, ec = packed
+            self.LN = np.asarray(LN)
             self.LNX = None
             self.xc = None
-        self.LN = np.asarray(LN)
         self.IDX = np.asarray(IDX)
         self.PAL = np.asarray(PAL)
         self.ESC = np.asarray(ESC)
@@ -509,6 +584,12 @@ class Rle3Frames:
             self.xoff = np.cumsum(x) - x
         else:
             self.xoff = None
+        if self.BM is not None:
+            c = np.minimum(np.asarray(self.cnt, np.int64), cap)
+            bc = (c + 7) // 8
+            self.bmoff = np.cumsum(bc) - bc
+            s = np.asarray(self.sc, np.int64)
+            self.soff = np.cumsum(s) - s
 
     def _bad(self, i: int) -> bool:
         # Empty slices never overflow: offsets are cumulative, so one
@@ -523,8 +604,16 @@ class Rle3Frames:
             x = int(self.xc[i])
             if x > 0 and self.xoff[i] + x > self.LNX.shape[0]:
                 return True
+        if self.BM is not None:
+            bc = (c + 7) // 8
+            s = int(self.sc[i])
+            if bc > 0 and self.bmoff[i] + bc > self.BM.shape[0]:
+                return True
+            if s > 0 and self.soff[i] + s > self.LNS.shape[0]:
+                return True
+        run_stream = self.IDX if self.LN is None else self.LN
         return (c > self.cap
-                or (c > 0 and self.off[i] + c > self.LN.shape[0])
+                or (c > 0 and self.off[i] + c > run_stream.shape[0])
                 or (e > 0 and self.eoff[i] + e > self.ESC.shape[0])
                 or (nck > 0 and self.poff[i] + nck > self.PAL.shape[0]))
 
@@ -536,14 +625,15 @@ class Rle3Frames:
         """Per-stream attribution of overflowed frames ('T'/'E'/'P'/'X'
         counts; one frame can hit several).  Diagnostic only — the
         decode path uses overflow_indices."""
-        out = {"T": 0, "E": 0, "P": 0, "X": 0}
+        out = {"T": 0, "E": 0, "P": 0, "X": 0, "B": 0, "S": 0}
+        run_stream = self.IDX if self.LN is None else self.LN
         for i in range(n_frames):
             if not self._bad(i):
                 continue
             c, e = int(self.cnt[i]), int(self.ec[i])
             nck = min(int(self.nc[i]), self.pal_k)
             if c > self.cap or (c > 0
-                                and self.off[i] + c > self.LN.shape[0]):
+                                and self.off[i] + c > run_stream.shape[0]):
                 out["T"] += 1
             if e > 0 and self.eoff[i] + e > self.ESC.shape[0]:
                 out["E"] += 1
@@ -552,6 +642,13 @@ class Rle3Frames:
             if (self.xc is not None and int(self.xc[i]) > 0
                     and self.xoff[i] + int(self.xc[i]) > self.LNX.shape[0]):
                 out["X"] += 1
+            if self.BM is not None:
+                bc = (c + 7) // 8
+                if bc > 0 and self.bmoff[i] + bc > self.BM.shape[0]:
+                    out["B"] += 1
+                s = int(self.sc[i])
+                if s > 0 and self.soff[i] + s > self.LNS.shape[0]:
+                    out["S"] += 1
         return {k: v for k, v in out.items() if v}
 
     def frame(self, i: int):
@@ -562,19 +659,44 @@ class Rle3Frames:
         c, e = int(self.cnt[i]), int(self.ec[i])
         nck = min(int(self.nc[i]), self.pal_k)
         o = int(self.off[i])
-        ln = self.LN[o:o + c]
-        if self.LNX is not None:
-            # v4: splice extended lengths over the u8 stream's 0 markers
-            ln8 = ln
-            ln = ln8.astype(np.uint16)
-            ext = ln8 == 0
+        if self.BM is not None:
+            # v5: rebuild lengths from the length-1 bitmask + the != 1
+            # length stream (whose 0 markers still extend via LNX)
+            bc = (c + 7) // 8
+            bo = int(self.bmoff[i])
+            bits = np.unpackbits(self.BM[bo:bo + bc],
+                                 bitorder="little")[:c].astype(bool)
+            s = int(self.sc[i])
+            if int((~bits).sum()) != s:
+                raise OverflowError(
+                    f"rle5 frame {i}: non-one count mismatch")
+            so = int(self.soff[i])
+            ln8s = self.LNS[so:so + s]
+            ln_no = ln8s.astype(np.uint16)
+            ext = ln8s == 0
             x = int(self.xc[i])
             if int(ext.sum()) != x:
                 raise OverflowError(
-                    f"rle4 frame {i}: extension count mismatch")
+                    f"rle5 frame {i}: extension count mismatch")
             if x:
                 xo = int(self.xoff[i])
-                ln[ext] = self.LNX[xo:xo + x]
+                ln_no[ext] = self.LNX[xo:xo + x]
+            ln = np.ones(c, np.uint16)
+            ln[~bits] = ln_no
+        else:
+            ln = self.LN[o:o + c]
+            if self.LNX is not None:
+                # v4: splice extended lengths over the u8 stream's 0 markers
+                ln8 = ln
+                ln = ln8.astype(np.uint16)
+                ext = ln8 == 0
+                x = int(self.xc[i])
+                if int(ext.sum()) != x:
+                    raise OverflowError(
+                        f"rle4 frame {i}: extension count mismatch")
+                if x:
+                    xo = int(self.xoff[i])
+                    ln[ext] = self.LNX[xo:xo + x]
         ix = self.IDX[o:o + c].astype(np.int64)
         pal = self.PAL[int(self.poff[i]):int(self.poff[i]) + nck]
         if nck:
