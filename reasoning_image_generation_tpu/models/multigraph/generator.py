@@ -107,7 +107,9 @@ def _finalize_record(rec: Dict, scene: Dict, bounds, dpi: int,
 class GeometryGeneratorTPU:
     def __init__(self, bounds=BOUNDS, global_scale: float = 1.3,
                  log_level: str = "INFO", io_workers: int = 8,
-                 renderer: str = "auto", aot: bool = True):
+                 renderer: str = "auto", aot: bool = True,
+                 transfer_codec: str = "rle4"):
+        self.transfer_codec = transfer_codec
         from ...utils.cache import enable_compilation_cache
         enable_compilation_cache()
         self.bounds = bounds
@@ -209,32 +211,46 @@ class GeometryGeneratorTPU:
         # frames that still overflow fall back to one gathered raw fetch.
         from ...io.transfer import (coalesce_flat, coalesce_flat_shrunk,
                                     blob_specs, shrunk_specs, transfer_tier)
-        from ...ops.rle import pack_batch_rle4, default_budget
+        from ...ops.rle import (pack_batch_rle4, pack_batch_rle5,
+                                default_budget)
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
         budget = default_budget(H, W)
-        packed = pack_batch_rle4(imgs, budget)
+        v5 = getattr(self, "transfer_codec", "rle4") == "rle5"
+        packed = (pack_batch_rle5 if v5 else pack_batch_rle4)(imgs, budget)
         tree = packed if extra is None else (packed, extra)
         leaves, treedef, specs = blob_specs(tree)
-        # 'mg4': the v4 wire format adds the X stream stat; a fresh
-        # namespace keeps old rle3 tier stats from masking its absence
-        skey = f"mg4:{H}x{W}"
-        F = int(packed[5].shape[0])
+        # per-wire-format namespace ('mg4'/'mg5'): a codec with different
+        # streams must not inherit another's converged tiers
+        skey = f"mg{'5' if v5 else '4'}:{H}x{W}"
+        F = int(packed[6 if v5 else 5].shape[0])
 
         def tier_for(suffix, cap, slack=0):
             st = self._run_stats.get(f"{skey}:{suffix}")
             return transfer_tier(None if st is None else st * F + slack,
                                  cap)
 
-        tT = tier_for("T", int(leaves[0].shape[0]))
-        tP = tier_for("P", int(leaves[2].shape[0]), slack=1024)
-        tE = tier_for("E", int(leaves[3].shape[0]), slack=4096)
-        tX = tier_for("X", int(leaves[4].shape[0]), slack=1024)
-        sizes = (None if tT is None else (0, tT),
-                 None if tT is None else (0, tT),
-                 None if tP is None else (0, tP),
-                 None if tE is None else (0, tE),
-                 None if tX is None else (0, tX),
-                 None, None, None, None)
+        if v5:
+            # v5 leaves: (BM, LNS, IDX, PAL, ESC, LNX, cnt, nc, ec, xc, sc)
+            tB = tier_for("B", int(leaves[0].shape[0]), slack=64)
+            tS = tier_for("S", int(leaves[1].shape[0]), slack=1024)
+            tT = tier_for("T", int(leaves[2].shape[0]))
+            tP = tier_for("P", int(leaves[3].shape[0]), slack=1024)
+            tE = tier_for("E", int(leaves[4].shape[0]), slack=4096)
+            tX = tier_for("X", int(leaves[5].shape[0]), slack=1024)
+            sizes = tuple(None if t is None else (0, t)
+                          for t in (tB, tS, tT, tP, tE, tX))
+            sizes += (None,) * 5
+        else:
+            tT = tier_for("T", int(leaves[0].shape[0]))
+            tP = tier_for("P", int(leaves[2].shape[0]), slack=1024)
+            tE = tier_for("E", int(leaves[3].shape[0]), slack=4096)
+            tX = tier_for("X", int(leaves[4].shape[0]), slack=1024)
+            sizes = (None if tT is None else (0, tT),
+                     None if tT is None else (0, tT),
+                     None if tP is None else (0, tP),
+                     None if tE is None else (0, tE),
+                     None if tX is None else (0, tX),
+                     None, None, None, None)
         sizes += (None,) * (len(leaves) - len(sizes))  # extras ship whole
         if any(s is not None for s in sizes):
             blob = coalesce_flat_shrunk(leaves, sizes)
@@ -264,6 +280,9 @@ class GeometryGeneratorTPU:
                  ("E", int(frames.ec.sum()))]
         if frames.xc is not None:
             stats.append(("X", int(frames.xc.sum())))
+        if frames.BM is not None:  # v5: bitmask bytes + != 1 lengths
+            stats.append(("B", int(((frames.cnt + 7) // 8).sum())))
+            stats.append(("S", int(frames.sc.sum())))
         for suf, tot in stats:
             k = f"{skey}:{suf}"
             self._run_stats[k] = max(self._run_stats.get(k, 0.0), tot / F)

@@ -42,6 +42,11 @@ logger = logging.getLogger(__name__)
 RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
             "grid_phash_full")
 
+# codecs whose run streams batch-compact on device into one flat blob
+# (ops/rle.py compact_* family; tuple arity identifies the wire format:
+# 7 = rle3, 9 = rle4 u8-length, 11 = rle5 length-1 bitmask)
+_COMPACT_CODECS = ("rle3", "rle3d", "rle4", "rle4d", "rle5", "rle5d")
+
 # single-blob transfer helpers shared with the multigraph generator —
 # see io/transfer.py for the per-transfer-cost rationale
 from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
@@ -443,18 +448,18 @@ class RPMGeneratorTPU:
                 skip |= {"grid_img"}
             transfer = {k: v for k, v in out.items() if k not in skip}
             codec = getattr(self.cfg, "transfer_codec", "rle4d")
-            if codec in ("rle3", "rle3d", "rle4", "rle4d"):
+            if codec in _COMPACT_CODECS:
                 # batch-compact + palettize the run streams on device
-                # (ops/rle.py::compact_rle3/compact_rle3d and the
-                # u8-length v4 variants) — outside the mesh-sharded
-                # pipeline jit, so this is where shards get gathered.
-                # Delta streams (4-tuple: + copy mask) come from
-                # pack_batch_rle2_delta; the grid stays non-delta.
-                from ...ops.rle import (compact_rle3, compact_rle3d,
-                                        compact_rle4, compact_rle4d)
-                v4 = codec.startswith("rle4")
-                c_plain = compact_rle4 if v4 else compact_rle3
-                c_delta = compact_rle4d if v4 else compact_rle3d
+                # (ops/rle.py::compact_rle3/compact_rle3d, the u8-length
+                # v4 variants, and the length-1-bitmask v5 variants) —
+                # outside the mesh-sharded pipeline jit, so this is where
+                # shards get gathered.  Delta streams (4-tuple: + copy
+                # mask) come from pack_batch_rle2_delta; the grid stays
+                # non-delta.
+                from ...ops import rle as _rle
+                base = codec.rstrip("d")
+                c_plain = getattr(_rle, f"compact_{base}")
+                c_delta = getattr(_rle, f"compact_{base}d")
                 for key in list(transfer):
                     if key.endswith("_packed"):
                         val = transfer[key]
@@ -470,7 +475,7 @@ class RPMGeneratorTPU:
                                                   n_real)
                 if keep_handle[0] == "dev":
                     transfer["_keep"] = keep_handle[1]
-            flat_blob = codec in ("rle3", "rle3d", "rle4", "rle4d")
+            flat_blob = codec in _COMPACT_CODECS
             leaves, treedef, specs = _blob_specs(transfer)
             sizes = self._shrink_sizes(leaf, transfer)
             if any(s is not None for s in sizes):
@@ -541,12 +546,33 @@ class RPMGeneratorTPU:
         for key in sorted(transfer):
             val = transfer[key]
             n_leaves = len(jax.tree.leaves(val))
-            if (key.endswith("_packed") and n_leaves in (7, 9)
-                    and codec in ("rle3", "rle3d", "rle4", "rle4d")):
+            if (key.endswith("_packed") and n_leaves in (7, 9, 11)
+                    and codec in _COMPACT_CODECS):
                 # compacted streams: tier each stream AXIS (batch totals,
                 # not per-frame counts).  Stats store per-frame averages
                 # so a different batch size next run still produces a
                 # sane tier.
+                if n_leaves == 11:
+                    # v5: (BM, LNS, IDX, PAL, ESC, LNX, cnt, nc, ec,
+                    #      xc, sc)
+                    BM, LNS, IDX, PAL, ESC, LNX = val[:6]
+                    F = int(np.prod(val[6].shape, dtype=np.int64))
+
+                    def t5(suffix, cap, slack=0):
+                        st = self._tier_stats.get(f"{leaf}:{key}:{suffix}")
+                        return transfer_tier(
+                            None if st is None else st * F + slack, cap)
+
+                    tB = t5("B", int(BM.shape[0]), slack=64)
+                    tS = t5("S", int(LNS.shape[0]), slack=1024)
+                    tT = t5("T", int(IDX.shape[0]))
+                    tP = t5("P", int(PAL.shape[0]), slack=1024)
+                    tE = t5("E", int(ESC.shape[0]), slack=4096)
+                    tX = t5("X", int(LNX.shape[0]), slack=1024)
+                    sizes += [None if t is None else (0, t)
+                              for t in (tB, tS, tT, tP, tE, tX)]
+                    sizes += [None] * 5
+                    continue
                 LN, _IDX, PAL, ESC = val[0], val[1], val[2], val[3]
                 F = int(np.prod(val[5 if n_leaves == 9 else 4].shape,
                                 dtype=np.int64))
@@ -600,17 +626,23 @@ class RPMGeneratorTPU:
             if key not in out:
                 continue
             val = out[key]
-            if len(val) in (7, 9):  # rle3/rle4: per-frame AVERAGE totals
-                v4 = len(val) == 9           # (see _shrink_sizes)
-                cnt = np.asarray(val[5 if v4 else 4])
-                nc = np.asarray(val[6 if v4 else 5])
-                ec = np.asarray(val[7 if v4 else 6])
+            if len(val) in (7, 9, 11):  # per-frame AVERAGE totals
+                v5 = len(val) == 11          # (see _shrink_sizes)
+                v4 = len(val) == 9
+                base = 6 if v5 else (5 if v4 else 4)
+                cnt = np.asarray(val[base])
+                nc = np.asarray(val[base + 1])
+                ec = np.asarray(val[base + 2])
                 F = max(cnt.size, 1)
                 stats = [("T", int(cnt.sum())),
                          ("P", int(np.minimum(nc, PAL_K).sum())),
                          ("E", int(ec.sum()))]
-                if v4:
-                    stats.append(("X", int(np.asarray(val[8]).sum())))
+                if v4 or v5:
+                    stats.append(("X", int(np.asarray(val[base + 3]).sum())))
+                if v5:
+                    # bitmask bytes quantize per frame: ceil(c/8)
+                    stats.append(("B", int(((cnt + 7) // 8).sum())))
+                    stats.append(("S", int(np.asarray(val[10]).sum())))
                 for suf, tot in stats:
                     k = f"{leaf}:{key}:{suf}"
                     self._run_stats[k] = max(self._run_stats.get(k, 0.0),
@@ -656,10 +688,10 @@ class RPMGeneratorTPU:
         # overflowed their (possibly shrunken) run capacity are fetched
         # raw, all of them in one gathered transfer per tensor
         direct = codec == "rle2" and "grid_img_packed" in out
-        direct3 = (codec in ("rle3", "rle3d", "rle4", "rle4d")
+        direct3 = (codec in _COMPACT_CODECS
                    and "grid_img_packed" in out
-                   and len(out["grid_img_packed"]) in (7, 9))
-        delta3 = direct3 and codec in ("rle3d", "rle4d")
+                   and len(out["grid_img_packed"]) in (7, 9, 11))
+        delta3 = direct3 and codec in ("rle3d", "rle4d", "rle5d")
         state_imgs = option_imgs = grid_imgs = None
         over_grid = over_state = over_opt = None
         g_fr = s_fr = o_fr = None

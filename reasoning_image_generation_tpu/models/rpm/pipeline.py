@@ -307,7 +307,7 @@ class LeafPipeline:
             if getattr(cfg, "sparse_transfer", True):
                 codec = getattr(cfg, "transfer_codec", "rle4d")
                 if codec in ("rle", "rle2", "rle3", "rle3d",
-                             "rle4", "rle4d"):
+                             "rle4", "rle4d", "rle5", "rle5d"):
                     # rle3/rle3d pack per-frame rle2 here; the batch
                     # compaction + palettization (ops/rle.py::compact_rle3
                     # / compact_rle3d) runs in the generator OUTSIDE this
@@ -330,7 +330,7 @@ class LeafPipeline:
                     gb = int(n_blocks(layout.grid_h, W) * gfrac)
                     pack = pack_batch
                 if "state_imgs" in out:
-                    if codec in ("rle3d", "rle4d"):
+                    if codec in ("rle3d", "rle4d", "rle5d"):
                         # inter-frame delta: rule steps change one or two
                         # element-sized regions, so state t encodes vs
                         # state t-1 (t=0 keys off the complement — no u8
@@ -359,7 +359,7 @@ class LeafPipeline:
                 # sample's grid is unique), so rle3d grids ship as rle3.
                 out["grid_img_packed"] = pack(
                     grids_pre if codec in ("rle2", "rle3", "rle3d",
-                                           "rle4", "rle4d")
+                                           "rle4", "rle4d", "rle5", "rle5d")
                     else grids, gb)
             return out
 

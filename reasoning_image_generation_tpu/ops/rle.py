@@ -742,9 +742,13 @@ class Rle3Frames:
         return flat.reshape(H, W, 3)
 
     def nbytes_shipped(self) -> int:
-        n = (self.LN.nbytes + self.IDX.nbytes + self.PAL.nbytes
+        n = (self.IDX.nbytes + self.PAL.nbytes
              + self.ESC.nbytes + self.cnt.nbytes + self.nc.nbytes
              + self.ec.nbytes)
+        if self.LN is not None:
+            n += self.LN.nbytes
+        if self.BM is not None:  # v5: bitmask + != 1 length stream
+            n += self.BM.nbytes + self.LNS.nbytes + self.sc.nbytes
         if self.LNX is not None:
             n += self.LNX.nbytes + self.xc.nbytes
         return n

@@ -109,7 +109,10 @@ class GenConfig:
     # composed grids are denser (borders, labels, resized cells): measured
     # p99 = 0.46, max = 0.47
     sparse_budget_grid: float = 0.55
-    # which codec sparse_transfer uses: 'rle4d' (rle3d with u8 run
+    # which codec sparse_transfer uses: 'rle5d'/'rle5' (the v4 wire
+    # format with a 1-bit-per-run "length is 1" bitmask replacing the
+    # length byte on single-pixel runs — the production median run is
+    # one AA edge pixel), 'rle4d' (rle3d with u8 run
     # lengths — runs >255 pull their true u16 length from a compacted
     # extension stream; measured 28-33% fewer run bytes than the u16
     # format — the default), 'rle4' (same wire format, no inter-frame

@@ -323,3 +323,25 @@ def test_point_adjacency_nonconvex_fallback():
     assert out is not None
     assert poly_min_distance(out, big) <= 1e-3
     assert not polys_overlap(out, big)
+
+
+def test_generator_rle5_matches_rle4(tmp_path):
+    """The mg transfer path must write byte-identical PNGs under the v5
+    (length-1 bitmask) and v4 wire formats."""
+    import cv2
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+    outs = {}
+    for codec in ("rle4", "rle5"):
+        gen = GeometryGeneratorTPU(transfer_codec=codec)
+        pngs = [str(tmp_path / f"{codec}_{i}.png") for i in range(4)]
+        gen.generate_batch([7, 8, 9, 10],
+                           ["nested", "adjacent", "intersecting", "random"],
+                           pngs, None, dpi=TEST_DPI)
+        gen._pool.drain()
+        gen.close()
+        outs[codec] = pngs
+    for p4, p5 in zip(outs["rle4"], outs["rle5"]):
+        a, b = cv2.imread(p4), cv2.imread(p5)
+        assert a is not None and b is not None
+        np.testing.assert_array_equal(a, b, err_msg=p4)

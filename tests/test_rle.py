@@ -496,7 +496,7 @@ def test_generator_end_to_end_rle4d_matches_rle3(tmp_path):
     from reasoning_image_generation_tpu.models.rpm.generator import (
         RPMGeneratorTPU)
     outs = {}
-    for codec in ("rle3", "rle4d"):
+    for codec in ("rle3", "rle4d", "rle5d"):
         out = str(tmp_path / codec)
         cfg = GenConfig(out_dir=out, seed=78, batch_size=4,
                         canvas_size=(96, 96), sparse_transfer=True)
@@ -505,19 +505,21 @@ def test_generator_end_to_end_rle4d_matches_rle3(tmp_path):
         gen.generate_ids(list(range(4)))
         gen.close()
         outs[codec] = out
-    ref, got = outs["rle3"], outs["rle4d"]
-    walked = 0
-    for root, _dirs, files in os.walk(ref):
-        for f in sorted(files):
-            rp = os.path.join(root, f)
-            gp = rp.replace(ref, got, 1)
-            assert os.path.exists(gp), f"missing {gp}"
-            if f.endswith(".png"):
-                import cv2
-                a, bb = cv2.imread(rp), cv2.imread(gp)
-                np.testing.assert_array_equal(a, bb, err_msg=f)
-                walked += 1
-    assert walked >= 4 * (4 + 4 + 1)
+    ref = outs["rle3"]
+    for other in ("rle4d", "rle5d"):
+        got = outs[other]
+        walked = 0
+        for root, _dirs, files in os.walk(ref):
+            for f in sorted(files):
+                rp = os.path.join(root, f)
+                gp = rp.replace(ref, got, 1)
+                assert os.path.exists(gp), f"missing {gp}"
+                if f.endswith(".png"):
+                    import cv2
+                    a, bb = cv2.imread(rp), cv2.imread(gp)
+                    np.testing.assert_array_equal(a, bb, err_msg=f)
+                    walked += 1
+        assert walked >= 4 * (4 + 4 + 1)
 
 
 def test_overflow_reasons_attribution():
@@ -538,3 +540,110 @@ def test_overflow_reasons_attribution():
     cut2[0] = cut2[0][:tot - 1]                  # clip the length stream
     fr3 = Rle3Frames(cut2, 4096)
     assert fr3.overflow_reasons(4) == {"T": 1}
+
+
+# ---- rle5 / rle5d (length-1 bitmask wire format) ----
+
+def test_rle5_matches_rle4_stream():
+    """frame(i) from the v5 wire format must equal the v4 view
+    bit-for-bit; the bitmask must beat the u8 length stream on byte
+    count for run-length-1-dominated frames (the production shape)."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2, compact_rle4, compact_rle5, Rle3Frames, PAL_K)
+    rng = np.random.default_rng(11)
+    imgs = np.stack([_img(60 + i, n_rects=5, H=128, W=128)
+                     for i in range(4)])
+    # salt with single-pixel AA-like speckles so length-1 runs dominate
+    for i in range(4):
+        ys = rng.integers(0, 128, 700)
+        xs = rng.integers(0, 128, 700)
+        imgs[i, ys, xs] = rng.integers(0, 255, (700, 3))
+    cap = 8192
+    ln2, co2, cnt2 = pack_batch_rle2(jnp.asarray(imgs), cap)
+
+    def trim(packed):
+        p = [np.asarray(a) for a in packed]
+        v5 = len(p) == 11
+        base = 6 if v5 else 5
+        cnt = p[base]
+        t = int(np.minimum(cnt, cap).sum())
+        nck = int(np.minimum(p[base + 1], PAL_K).sum())
+        e = int(p[base + 2].sum())
+        x = int(p[base + 3].sum())
+        if v5:
+            bc = int(((np.minimum(cnt, cap) + 7) // 8).sum())
+            s = int(p[10].sum())
+            p[0], p[1], p[2] = p[0][:bc], p[1][:s], p[2][:t]
+            p[3], p[4], p[5] = p[3][:nck], p[4][:e], p[5][:x]
+        else:
+            p[0], p[1], p[2] = p[0][:t], p[1][:t], p[2][:nck]
+            p[3], p[4] = p[3][:e], p[4][:x]
+        return p
+
+    fr4 = Rle3Frames(trim(compact_rle4(ln2, co2, cnt2)), cap)
+    fr5 = Rle3Frames(trim(compact_rle5(ln2, co2, cnt2)), cap)
+    assert fr5.BM is not None and int(fr5.sc.sum()) > 0
+    for i in range(4):
+        l4, c4 = fr4.frame(i)
+        l5, c5 = fr5.frame(i)
+        np.testing.assert_array_equal(l5, l4)
+        np.testing.assert_array_equal(c5, c4)
+        np.testing.assert_array_equal(fr5.unpack(i, (128, 128)), imgs[i])
+    assert fr5.nbytes_shipped() < fr4.nbytes_shipped()
+
+
+def test_rle5_forced_u16_split_roundtrip():
+    """A uniform frame: every run is >255 px (no length-1 runs at all) —
+    the bitmask is all zeros and every length rides LNS=0 + LNX."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle5, Rle3Frames, U16_RUN)
+    img = np.full((300, 512, 3), 9, np.uint8)
+    packed = pack_batch_rle5(jnp.asarray(img[None]), 1024)
+    fr = Rle3Frames([np.asarray(a) for a in packed], 1024)
+    n = 300 * 512
+    assert int(fr.cnt[0]) == -(-n // U16_RUN)
+    assert int(fr.sc[0]) == int(fr.cnt[0])   # every run is != 1
+    assert int(fr.xc[0]) == int(fr.cnt[0])   # ... and >255 px
+    np.testing.assert_array_equal(fr.unpack(0, (300, 512)), img)
+
+
+def test_rle5_truncated_streams_overflow_detected():
+    """Shrunken BM / LNS slices flag only the frames they cut."""
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle5, Rle3Frames)
+    imgs = np.stack([_img(70 + i, n_rects=4, H=128, W=128)
+                     for i in range(4)])
+    cap = 4096
+    packed = [np.asarray(a) for a in pack_batch_rle5(jnp.asarray(imgs), cap)]
+    cnt, sc = packed[6], packed[10]
+    bc = (np.minimum(cnt, cap) + 7) // 8
+    cut = list(packed)
+    cut[0] = cut[0][:int(bc[:3].sum())]      # drop frame 3's bitmask
+    fr = Rle3Frames(cut, cap)
+    assert fr.overflow_indices(4).tolist() == [3]
+    assert fr.overflow_reasons(4).get("B") == 1
+    for i in range(3):
+        np.testing.assert_array_equal(fr.unpack(i, (128, 128)), imgs[i])
+    cut2 = list(packed)
+    cut2[1] = cut2[1][:int(sc[:3].sum())]    # drop frame 3's LNS slice
+    fr2 = Rle3Frames(cut2, cap)
+    assert fr2.overflow_indices(4).tolist() == [3]
+    assert fr2.overflow_reasons(4).get("S") == 1
+
+
+def test_rle5d_roundtrip_exact_chain():
+    from reasoning_image_generation_tpu.ops.rle import (
+        pack_batch_rle2_delta, compact_rle5d, Rle3Frames)
+    seq = _seq(17, L=5, H=128, W=128)
+    cap = 4096
+    bases = np.concatenate([255 - seq[:1], seq[:-1]])
+    ln, co, cp, cnt = pack_batch_rle2_delta(
+        jnp.asarray(seq), jnp.asarray(bases), cap)
+    packed = compact_rle5d(ln, co, cp, cnt)
+    fr = Rle3Frames([np.asarray(a) for a in packed], cap, delta=True)
+    assert fr.overflow_indices(5).size == 0
+    prev = np.zeros_like(seq[0])
+    for t in range(5):
+        got = fr.unpack_delta(t, prev, (128, 128))
+        np.testing.assert_array_equal(got, seq[t])
+        prev = got

@@ -5,8 +5,14 @@
 # platform-invariant.
 from __future__ import annotations
 
+import os
 import sys
 import tempfile
+
+# Bootstrap the repo root (do NOT run with PYTHONPATH=/root/repo: the TPU
+# plugin registers via PYTHONPATH=/root/.axon_site, and a wholesale override
+# drops it — "Unable to initialize backend 'axon'").
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -21,6 +27,9 @@ def main(grid_only: bool = True) -> None:
     out_dir = tempfile.mkdtemp()
     cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                     sparse_transfer=True, grid_only=grid_only)
+    for a in sys.argv[1:]:
+        if a.startswith("--codec="):
+            cfg.transfer_codec = a.split("=", 1)[1]
     gen = RPMGeneratorTPU(cfg)
     gen.generate_ids(list(range(96)))        # warm: tiers converge
     gen.generate_ids(list(range(96, 192)))
@@ -41,11 +50,18 @@ def main(grid_only: bool = True) -> None:
         if "grid_img_packed" in o:
             skip |= {"grid_img"}
         transfer = {k: v for k, v in o.items() if k not in skip}
-        if codec == "rle3":
-            from reasoning_image_generation_tpu.ops.rle import compact_rle3
+        if codec.startswith(("rle3", "rle4", "rle5")):
+            # mirror generator.generate_ids' device compaction exactly
+            from reasoning_image_generation_tpu.ops import rle as _r
+            c_plain = {"rle3": _r.compact_rle3, "rle4": _r.compact_rle4,
+                       "rle5": _r.compact_rle5}[codec.rstrip("d")]
+            c_delta = {"rle3": _r.compact_rle3d, "rle4": _r.compact_rle4d,
+                       "rle5": _r.compact_rle5d}[codec.rstrip("d")]
             for key in list(transfer):
                 if key.endswith("_packed"):
-                    transfer[key] = compact_rle3(*transfer[key])
+                    val = transfer[key]
+                    transfer[key] = (c_delta(*val) if len(val) == 4
+                                     else c_plain(*val))
         leaves, treedef, specs = blob_specs(transfer)
         sizes = gen._shrink_sizes(leaf, transfer)
         specs2 = shrunk_specs(leaves, sizes)

@@ -32,6 +32,10 @@ out_dir = tempfile.mkdtemp(prefix="rig_prof_")
 cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
                 category_weights=dict(BENCH_WEIGHTS),
                 sparse_transfer=True, grid_only=True)
+for a in sys.argv[1:]:
+    if a.startswith("--codec="):          # A/B: --codec=rle5d vs rle4d
+        cfg.transfer_codec = a.split("=", 1)[1]
+print("codec:", cfg.transfer_codec, flush=True)
 gen = RPMGeneratorTPU(cfg)
 ids = list(range(128))
 ids2 = list(range(128, 640))
