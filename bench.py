@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-# bench.py — end-to-end throughput benchmark (one JSON line to stdout).
+# bench.py — end-to-end throughput benchmark (parseable JSON lines to stdout).
 """Measures full RPM sample generation throughput (device generation +
 render + grid compose + PNG/JSON export) and compares against the measured
 reference baseline on this machine.
@@ -9,17 +9,21 @@ on this host at 0.202 samples/s (32-sample run, single CPU core,
 2026-08-16).  The reference publishes no benchmark numbers of its own
 (BASELINE.md), so the measured-on-this-host number is the denominator.
 
-Stages:
-  1. device-only samples/s (north-star: BASELINE.json images/sec/chip)
-  2. e2e grid-only export (the composed puzzle is the training artifact)
-  3. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
+Stages (ordered headline-first; the byte-heavy full-export stages run LAST
+and are budget-gated so a slow relay can only cost the least-important
+numbers):
+  1. warmup (timed; `warmup_s` + `aot_entries_before` make compile-polluted
+     runs distinguishable from slow ones)
+  2. device-only samples/s (north-star: BASELINE.json images/sec/chip)
+  3. e2e grid-only export (the composed puzzle is the training artifact)
+  4. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
      leaves weighted (reference README.md:8 — the <10 s / 1k target)
-  4. combined-dataset BASELINE: 1k RPM (dedup) + 100 multigraph images
+  5. multigraph device + e2e rates
+  6. combined-dataset BASELINE: 1k RPM (dedup) + 100 multigraph images
      (dedup) in one timed window — the reference's full ~1k-sample
      dataset claim spans both pipelines
-  5. e2e full export (state/option/grid PNGs + meta/coco JSON)
-  6. the BASELINE scenario, full-export variant
-  7. multigraph device + e2e rates
+  7. e2e full export (state/option/grid PNGs + meta/coco JSON)
+  8. the BASELINE scenario, full-export variant
 
 Every e2e stage reports measured device->host bytes/sample alongside the
 rate: the dev relay's bandwidth swings 4-28 MB/s minute to minute, so
@@ -28,24 +32,32 @@ bytes/sample is the round-over-round comparable number.  A projected
 emitted for each e2e figure so relay weather can't hide a codec
 regression (or fake an improvement) round over round.
 
-HERMETIC DESIGN (round-4): the round-3 bench produced NO JSON because the
-TPU relay process died and a bare `jax.devices()` under the axon backend
-hangs forever in its connection-retry loop.  This script now never lets
-relay weather erase the evidence:
-  - the parent process NEVER imports jax.  It (a) preflights the relay —
-    is the relay process alive, does a subprocess-guarded, timeout-bound
-    `jax.devices()` probe return — and (b) runs the actual measurements
-    in a watchdog child with a hard timeout.
-  - the child checkpoints partial results to a file after every stage, so
-    a mid-run relay death still yields every completed stage's numbers.
-  - the parent ALWAYS prints exactly one parseable JSON line and exits 0:
-    full results, partial results + "error", or a pure diagnosis.
+UNKILLABLE EVIDENCE (round-5): rounds 3 and 4 both ended with
+`parsed:null` — round 3 to a dead relay, round 4 to the harness's
+external timeout killing the process before the single end-of-run JSON
+line was printed.  Three guarantees now make a null result impossible
+short of SIGKILL-before-first-stage:
+  - the child prints a FULL cumulative JSON headline line to stdout after
+    EVERY completed stage (not only at exit); the last line always
+    reflects the most recent completed stage, so an external kill at any
+    point leaves all finished stages' numbers in the captured output.
+  - the parent installs SIGTERM/SIGINT handlers that read the child's
+    checkpoint file and emit the partial JSON before dying.
+  - budgets fit a driver window with margin: BENCH_BUDGET_S=780 (child
+    skips remaining stages past it) under BENCH_TIMEOUT_S=1000 (parent
+    watchdog) — both well under the window that produced round 4's
+    rc=124 — and the headline + 1k-dedup stages run first.
+Plus the round-4 hermeticity: the parent never imports jax (a dead relay
+makes `jax.devices()` hang forever); backend probing happens in a
+timeout-bound subprocess; the child checkpoints partial results to a file
+after every stage.
 """
 from __future__ import annotations
 
 import json
 import os
 import shutil
+import signal
 import subprocess
 import sys
 import tempfile
@@ -78,22 +90,24 @@ BENCH_WEIGHTS = {"平移": 1.0, "旋转": 1.0, "翻转(镜像)": 1.0, "组合": 
 # (the favorable-to-the-reference choice).
 REFERENCE_MG_BASELINE_IPS = 1.2  # measured typical rate (see above)
 
-# Wall-clock budget for the whole RPM section.  The full-export stages
-# move ~770 MB over the relay; on a bad relay day they'd run for hours.
-# Once elapsed time crosses the budget, remaining stages are skipped
-# (their fields stay absent and are named in `skipped_stages`).
-BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+# Wall-clock budget for the child.  Once elapsed time crosses it,
+# remaining stages are skipped (their fields stay absent and are named in
+# `skipped_stages`).  Must leave margin under BENCH_TIMEOUT_S, which must
+# itself sit under the driver's external window (round 4's rc=124).
+BENCH_BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "780"))
+# The byte-heavy full-export stages only start if at least this much of
+# the budget remains — they are the least-important numbers and the most
+# likely to wedge on a bad relay day.
+FULL_EXPORT_MIN_REMAINING_S = 240.0
 # Below this measured link speed the full-export timed window shrinks
 # (288 ids still gives every leaf a full batch-32 group on average) and
 # the 1024-sample full-export run is skipped outright.
 SLOW_LINK_MBPS = 2.0
 
 # Parent-side guards (no jax in the parent).
-PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "180"))
-# Hard wall for the watchdog child.  Generous: killing a client
-# mid-transfer can wedge the relay, so this is a last resort above the
-# child's own BENCH_BUDGET_S stage skipping.
-BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", "5000"))
+PREFLIGHT_TIMEOUT_S = float(os.environ.get("BENCH_PREFLIGHT_TIMEOUT_S", "120"))
+# Hard wall for the watchdog child.
+BENCH_TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT_S", "1000"))
 
 _CHILD_FLAG = "--child"
 
@@ -160,6 +174,14 @@ def _error_json(msg: str, partial: dict | None = None) -> dict:
     return out
 
 
+def _read_partial(res_path: str) -> dict | None:
+    try:
+        with open(res_path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
 def main() -> int:
     ok, diag = _preflight()
     if not ok:
@@ -172,12 +194,32 @@ def main() -> int:
     proc = subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), _CHILD_FLAG],
         env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+
+    # An external kill (driver timeout -> SIGTERM) must still yield the
+    # completed stages: dump the child's checkpoint file and exit 0.  The
+    # child has been printing cumulative lines to the shared stdout all
+    # along, so this is the second layer, not the only one.
+    def _on_signal(signum, frame):  # pragma: no cover - signal path
+        partial = _read_partial(res_path)
+        partial = partial or {}
+        partial.pop("complete", None)
+        _emit(_error_json(f"killed by signal {signum} "
+                          "(partial results attached)", partial))
+        try:
+            proc.terminate()
+        except OSError:
+            pass
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     try:
         rc = proc.wait(timeout=BENCH_TIMEOUT_S)
     except subprocess.TimeoutExpired:
         proc.terminate()
         try:
-            proc.wait(timeout=60)
+            proc.wait(timeout=30)
         except subprocess.TimeoutExpired:
             proc.kill()
             proc.wait()
@@ -186,17 +228,11 @@ def main() -> int:
     else:
         msg = f"bench child exited rc={rc}"
 
-    partial = None
+    partial = _read_partial(res_path)
     try:
-        with open(res_path) as f:
-            partial = json.load(f)
-    except (OSError, json.JSONDecodeError):
+        os.unlink(res_path)
+    except OSError:
         pass
-    finally:
-        try:
-            os.unlink(res_path)
-        except OSError:
-            pass
 
     if rc == 0 and partial is not None and partial.get("complete"):
         partial.pop("complete", None)
@@ -209,7 +245,8 @@ def main() -> int:
 
 
 # --------------------------------------------------------------------------
-# child side: the actual measurements (checkpoints to BENCH_RES_PATH)
+# child side: the actual measurements (checkpoints to BENCH_RES_PATH and
+# prints a cumulative JSON headline line after every stage)
 # --------------------------------------------------------------------------
 
 def _timed_export(gen, warm_ids, timed_ids, **kw):
@@ -237,17 +274,38 @@ def _timed_export(gen, warm_ids, timed_ids, **kw):
 
 
 class _Checkpointer:
-    """Builds the output JSON incrementally; persists after every stage so
-    a mid-run relay death still leaves the completed stages' numbers."""
+    """Builds the output JSON incrementally; persists to BENCH_RES_PATH
+    after every update AND (on stage boundaries) prints the cumulative
+    headline line to stdout, so an external kill at any moment leaves the
+    completed stages' numbers both on disk and in the captured output."""
 
     def __init__(self, path: str | None):
         self.path = path
+        self.t0 = time.time()
         self.out = {"metric": "rpm_samples_per_sec_device", "value": 0.0,
                     "unit": "samples/s", "vs_baseline": 0.0}
 
     def update(self, **fields):
         self.out.update(fields)
         self.save()
+
+    def stage(self, name: str, **fields):
+        """Stage boundary: update + print the cumulative headline line."""
+        fields["last_stage"] = name
+        fields["elapsed_s"] = round(time.time() - self.t0, 1)
+        self.update(**fields)
+        line = {k: v for k, v in self.out.items() if k != "complete"}
+        print(json.dumps(line), flush=True)
+
+    def over_budget(self, stage: str, min_remaining: float = 0.0) -> bool:
+        remaining = BENCH_BUDGET_S - (time.time() - self.t0)
+        if remaining < max(min_remaining, 0.0):
+            print(f"bench: budget exceeded ({remaining:.0f}s left), "
+                  f"skipping {stage}", file=sys.stderr, flush=True)
+            skipped = list(self.out.get("skipped_stages", [])) + [stage]
+            self.update(skipped_stages=skipped)
+            return True
+        return False
 
     def save(self):
         if not self.path:
@@ -258,154 +316,169 @@ class _Checkpointer:
         os.replace(tmp, self.path)
 
 
-def _run_rpm(ck: _Checkpointer):
+def _aot_entries() -> int:
+    from reasoning_image_generation_tpu.utils.cache import cache_dir
+    try:
+        return len(os.listdir(os.path.join(cache_dir(), "aot")))
+    except OSError:
+        return 0
+
+
+def _run_rpm_headline(ck: _Checkpointer, state: dict):
+    """Warmup + device rate + link probe + grid-only e2e + the 1k-dedup
+    grid-only BASELINE window.  These carry every headline number; they run
+    first so an external kill can only cost the byte-heavy tail stages."""
     import numpy as np
     from reasoning_image_generation_tpu.utils.config import GenConfig
     from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
     from reasoning_image_generation_tpu.models.rpm.pipeline import sample_keys
 
-    out_dir = tempfile.mkdtemp(prefix="rig_bench_")
-    skipped = []
-    bench_t0 = time.time()
+    out_dir = state["out_dir"]
+    ck.update(aot_entries_before=_aot_entries())
 
-    def over_budget(stage):
-        if time.time() - bench_t0 > BENCH_BUDGET_S:
-            print(f"bench: budget exceeded, skipping {stage}",
-                  file=sys.stderr, flush=True)
-            skipped.append(stage)
-            ck.update(skipped_stages=list(skipped))
-            return True
-        return False
+    # sparse_transfer stays off for the DEVICE-rate runs (the codec
+    # costs ~2x device time and the headline metric is device
+    # samples/s); the e2e runs below use their own codec-enabled
+    # pipelines because the device->host link is the e2e bottleneck
+    # on this host (measured: raw link ~5-20 MB/s and varying).
+    cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
+                    category_weights=dict(BENCH_WEIGHTS))
+    gen = RPMGeneratorTPU(cfg)
+    ids = list(range(N_WARM))
+    ids2 = list(range(N_WARM, N_WARM + N_TIMED))
+    print("bench: warming up (compiles)...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    gen.warmup(ids)
+    ck.stage("warmup", warmup_s=round(time.time() - t0, 1))
 
-    try:
-        # sparse_transfer stays off for the DEVICE-rate runs (the codec
-        # costs ~2x device time and the headline metric is device
-        # samples/s); the e2e runs below use their own codec-enabled
-        # pipelines because the device->host link is the e2e bottleneck
-        # on this host (measured: raw link ~5-20 MB/s and varying).
-        cfg = GenConfig(out_dir=out_dir, seed=123, batch_size=32,
-                        category_weights=dict(BENCH_WEIGHTS))
-        gen = RPMGeneratorTPU(cfg)
-        ids = list(range(N_WARM))
-        ids2 = list(range(N_WARM, N_WARM + N_TIMED))
-        print("bench: warming up (compiles)...", file=sys.stderr, flush=True)
-        gen.warmup(ids)
+    # the north-star metric (BASELINE.json): rendered puzzle
+    # samples/sec/chip at 512^2, on-device.  Latency-amortized
+    # (10 dispatches per sync — a single sync costs ~36 ms on this
+    # relay); the per-dispatch-blocking number is reported alongside
+    # so methodology changes can't masquerade as perf deltas.
+    # Measured over N_TIMED ids so every leaf contributes at least one
+    # FULL batch (with only N_WARM ids the 9-leaf groups are all
+    # ragged and padding gets billed as dead time, ~2x understatement).
+    print("bench: device-only run...", file=sys.stderr, flush=True)
+    device_sps = gen.measure_device_rate(ids2, iters=10)
+    ck.update(value=round(device_sps, 3),
+              vs_baseline=round(device_sps / REFERENCE_BASELINE_SPS, 2))
+    ck.stage("device_only", device_sps_blocking=round(
+        gen.measure_device_rate(ids2, iters=10, blocking=True), 3))
+    state["device_sps"] = device_sps
 
-        # timed run 1 — the north-star metric (BASELINE.json): rendered
-        # puzzle samples/sec/chip at 512^2, on-device.  Latency-amortized
-        # (10 dispatches per sync — a single sync costs ~36 ms on this
-        # relay); the per-dispatch-blocking number is reported alongside
-        # so methodology changes can't masquerade as perf deltas.
-        # Measured over N_TIMED ids so every leaf contributes at least one
-        # FULL batch (with only N_WARM ids the 9-leaf groups are all
-        # ragged and padding gets billed as dead time, ~2x understatement).
-        print("bench: device-only run...", file=sys.stderr, flush=True)
-        device_sps = gen.measure_device_rate(ids2, iters=10)
-        ck.update(value=round(device_sps, 3),
-                  vs_baseline=round(device_sps / REFERENCE_BASELINE_SPS, 2))
-        ck.update(device_sps_blocking=round(
-            gen.measure_device_rate(ids2, iters=10, blocking=True), 3))
+    # quantify the link: raw device->host MB/s for one batch's images
+    leaf, entries = next(iter(gen._sample_assignments(ids).items()))
+    pipe = gen._pipeline(leaf)
+    chunk = entries[:cfg.batch_size]
+    pad = [e[0] for e in chunk] + [chunk[0][0]] * (cfg.batch_size - len(chunk))
+    ug = np.asarray([e[2] for e in chunk] +
+                    [False] * (cfg.batch_size - len(chunk)))
+    out = pipe(sample_keys(cfg.seed or 0, np.asarray(pad)), ug)
+    _ = np.asarray(out["grid_img"].reshape(-1)[0])
+    t0 = time.time()
+    nbytes = sum(np.asarray(out[k]).nbytes
+                 for k in ("state_imgs", "option_imgs", "grid_img"))
+    link_mbps = nbytes / max(time.time() - t0, 1e-9) / 1e6
+    ck.stage("link_probe", host_link_mbps=round(link_mbps, 2))
+    state["link_mbps"] = link_mbps
+    gen.close()
 
-        # quantify the link: raw device->host MB/s for one batch's images
-        leaf, entries = next(iter(gen._sample_assignments(ids).items()))
-        pipe = gen._pipeline(leaf)
-        chunk = entries[:cfg.batch_size]
-        pad = [e[0] for e in chunk] + [chunk[0][0]] * (cfg.batch_size - len(chunk))
-        ug = np.asarray([e[2] for e in chunk] +
-                        [False] * (cfg.batch_size - len(chunk)))
-        out = pipe(sample_keys(cfg.seed or 0, np.asarray(pad)), ug)
-        _ = np.asarray(out["grid_img"].reshape(-1)[0])
-        t0 = time.time()
-        nbytes = sum(np.asarray(out[k]).nbytes
-                     for k in ("state_imgs", "option_imgs", "grid_img"))
-        link_mbps = nbytes / max(time.time() - t0, 1e-9) / 1e6
-        ck.update(host_link_mbps=round(link_mbps, 2))
-        gen.close()
+    idsk = list(range(10_000, 10_000 + N_BASELINE))
 
-        idsk = list(range(10_000, 10_000 + N_BASELINE))
+    # grid-only export (the composed puzzle is the training artifact;
+    # per-frame images never cross the link).  Runs FIRST among the e2e
+    # stages: it carries the headline BASELINE target and is ~6x lighter
+    # on the link.
+    print("bench: grid-only e2e run...", file=sys.stderr, flush=True)
+    cfg3 = GenConfig(out_dir=out_dir + "_g", seed=123, batch_size=32,
+                     category_weights=dict(BENCH_WEIGHTS),
+                     sparse_transfer=True, grid_only=True)
+    gen3 = RPMGeneratorTPU(cfg3)
+    gen3.warmup(ids + ids2)
+    g_sps, g_bps, g_over, _ = _timed_export(gen3, ids, ids2)
+    ck.stage("grid_only_e2e",
+             e2e_grid_only_sps=round(g_sps, 3),
+             grid_bytes_per_sample=round(g_bps),
+             grid_only_sps_at_10mbps=round(
+                 min(device_sps, 10e6 / max(g_bps, 1)), 1),
+             grid_overflow_frames=g_over)
 
-        # timed run 2 — grid-only export (the composed puzzle is the
-        # training artifact; per-frame images never cross the link).
-        # Runs FIRST among the e2e stages: it carries the headline
-        # BASELINE target and is ~6x lighter on the link.
-        print("bench: grid-only e2e run...", file=sys.stderr, flush=True)
-        cfg3 = GenConfig(out_dir=out_dir + "_g", seed=123, batch_size=32,
-                         category_weights=dict(BENCH_WEIGHTS),
-                         sparse_transfer=True, grid_only=True)
-        gen3 = RPMGeneratorTPU(cfg3)
-        gen3.warmup(ids + ids2)
-        g_sps, g_bps, g_over, _ = _timed_export(gen3, ids, ids2)
-        ck.update(e2e_grid_only_sps=round(g_sps, 3),
-                  grid_bytes_per_sample=round(g_bps),
-                  grid_only_sps_at_10mbps=round(
-                      min(device_sps, 10e6 / max(g_bps, 1)), 1),
-                  grid_overflow_frames=g_over)
+    # the literal BASELINE scenario, grid-only: ~1k samples, dedup on
+    # (reference README.md:8; <10 s target).  Untimed mini-pass first:
+    # compiles the dedup_append_step program (CorpusDedup quantizes
+    # capacity to >=4096, so the 64-id warm and the 1k run share one
+    # compiled shape).
+    gen3.generate_ids(ids[:64], dedup=True)
+    gen3._pool.drain()
+    print("bench: 1k dedup grid-only run...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    metas = gen3.generate_ids(idsk, dedup=True)
+    gen3._pool.drain()
+    ck.stage("baseline_1k_grid",
+             baseline_1k_grid_s=round(time.time() - t0, 2),
+             baseline_1k_grid_kept=sum(
+                 1 for m in metas
+                 if not m.get("duplicate") and not m.get("error")))
+    gen3.close()
+    shutil.rmtree(out_dir + "_g", ignore_errors=True)
 
-        # timed run 3 — the literal BASELINE scenario, grid-only:
-        # ~1k samples, dedup on (reference README.md:8; <10 s target).
-        # Untimed mini-pass first: compiles the dedup_append_step program
-        # (CorpusDedup quantizes capacity to >=4096, so the 64-id warm and
-        # the 1k run share one compiled shape).
-        gen3.generate_ids(ids[:64], dedup=True)
-        gen3._pool.drain()
-        print("bench: 1k dedup grid-only run...", file=sys.stderr,
+
+def _run_rpm_full_export(ck: _Checkpointer, state: dict):
+    """The byte-heavy full-export stages (state/option/grid PNGs +
+    meta/coco JSON).  Run LAST and budget-gated: on a bad relay day these
+    would run for hours, and they carry no headline target."""
+    from reasoning_image_generation_tpu.utils.config import GenConfig
+    from reasoning_image_generation_tpu.models.rpm.generator import RPMGeneratorTPU
+
+    out_dir = state["out_dir"]
+    device_sps = state.get("device_sps", 0.0)
+    link_mbps = state.get("link_mbps", 0.0)
+    slow_link = link_mbps < SLOW_LINK_MBPS
+    ids = list(range(N_WARM))
+    ids2 = list(range(N_WARM, N_WARM + N_TIMED))
+
+    if ck.over_budget("e2e_full", FULL_EXPORT_MIN_REMAINING_S):
+        return
+    print("bench: e2e full-export run...", file=sys.stderr, flush=True)
+    cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
+                     category_weights=dict(BENCH_WEIGHTS),
+                     sparse_transfer=True)
+    gen2 = RPMGeneratorTPU(cfg2)
+    timed2 = ids2[:288] if slow_link else ids2
+    gen2.warmup(ids + timed2)
+    e_sps, e_bps, e_over, _ = _timed_export(gen2, ids, timed2)
+    ck.stage("e2e_full",
+             e2e_samples_per_sec=round(e_sps, 3),
+             e2e_vs_baseline=round(e_sps / REFERENCE_BASELINE_SPS, 2),
+             e2e_bytes_per_sample=round(e_bps),
+             e2e_sps_at_10mbps=round(
+                 min(device_sps, 10e6 / max(e_bps, 1)), 1),
+             e2e_overflow_frames=e_over)
+
+    # BASELINE scenario, full export
+    if slow_link:
+        ck.update(skipped_stages=list(ck.out.get("skipped_stages", []))
+                  + ["baseline_1k_full(slow_link)"])
+    elif not ck.over_budget("baseline_1k_full", FULL_EXPORT_MIN_REMAINING_S):
+        gen2.generate_ids(ids[:64], dedup=True)  # compile dedup step
+        gen2._pool.drain()
+        print("bench: 1k dedup full-export run...", file=sys.stderr,
               flush=True)
+        idsk = list(range(10_000, 10_000 + N_BASELINE))
+        b0 = gen2.transfer_bytes
         t0 = time.time()
-        metas = gen3.generate_ids(idsk, dedup=True)
-        gen3._pool.drain()
-        ck.update(
-            baseline_1k_grid_s=round(time.time() - t0, 2),
-            baseline_1k_grid_kept=sum(
-                1 for m in metas
-                if not m.get("duplicate") and not m.get("error")))
-        gen3.close()
-        shutil.rmtree(out_dir + "_g", ignore_errors=True)
-
-        # timed run 4 — end-to-end full export (all state/option/grid PNGs
-        # + meta/coco JSON): the byte-heavy stages, budget-guarded.
-        slow_link = link_mbps < SLOW_LINK_MBPS
-        if over_budget("e2e_full"):
-            return skipped
-        print("bench: e2e full-export run...", file=sys.stderr, flush=True)
-        cfg2 = GenConfig(out_dir=out_dir + "_s", seed=123, batch_size=32,
-                         category_weights=dict(BENCH_WEIGHTS),
-                         sparse_transfer=True)
-        gen2 = RPMGeneratorTPU(cfg2)
-        timed2 = ids2[:288] if slow_link else ids2
-        gen2.warmup(ids + timed2)
-        e_sps, e_bps, e_over, _ = _timed_export(gen2, ids, timed2)
-        ck.update(e2e_samples_per_sec=round(e_sps, 3),
-                  e2e_vs_baseline=round(e_sps / REFERENCE_BASELINE_SPS, 2),
-                  e2e_bytes_per_sample=round(e_bps),
-                  e2e_sps_at_10mbps=round(
-                      min(device_sps, 10e6 / max(e_bps, 1)), 1),
-                  e2e_overflow_frames=e_over)
-
-        # timed run 5 — BASELINE scenario, full export
-        if slow_link:
-            skipped.append("baseline_1k_full(slow_link)")
-            ck.update(skipped_stages=list(skipped))
-        elif not over_budget("baseline_1k_full"):
-            gen2.generate_ids(ids[:64], dedup=True)  # compile dedup step
-            gen2._pool.drain()
-            print("bench: 1k dedup full-export run...", file=sys.stderr,
-                  flush=True)
-            b0 = gen2.transfer_bytes
-            t0 = time.time()
-            metas = gen2.generate_ids(idsk, dedup=True)
-            gen2._pool.drain()
-            ck.update(
-                baseline_1k_full_s=round(time.time() - t0, 2),
-                baseline_1k_full_bytes_per_sample=round(
-                    (gen2.transfer_bytes - b0) / N_BASELINE),
-                baseline_1k_full_kept=sum(
-                    1 for m in metas
-                    if not m.get("duplicate") and not m.get("error")))
-        gen2.close()
-        shutil.rmtree(out_dir + "_s", ignore_errors=True)
-        return skipped
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        metas = gen2.generate_ids(idsk, dedup=True)
+        gen2._pool.drain()
+        ck.stage("baseline_1k_full",
+                 baseline_1k_full_s=round(time.time() - t0, 2),
+                 baseline_1k_full_bytes_per_sample=round(
+                     (gen2.transfer_bytes - b0) / N_BASELINE),
+                 baseline_1k_full_kept=sum(
+                     1 for m in metas
+                     if not m.get("duplicate") and not m.get("error")))
+    gen2.close()
+    shutil.rmtree(out_dir + "_s", ignore_errors=True)
 
 
 def _run_multigraph(ck: _Checkpointer, n_batches: int = 3, B: int = 8,
@@ -441,8 +514,9 @@ def _run_multigraph(ck: _Checkpointer, n_batches: int = 3, B: int = 8,
         imgs = render(batch, dpi=dpi)
     _ = np.asarray(imgs.reshape(-1)[0])
     device_ips = B * iters / (time.perf_counter() - t0)
-    ck.update(mg_imgs_per_sec_device=round(device_ips, 3),
-              mg_vs_baseline=round(device_ips / REFERENCE_MG_BASELINE_IPS, 2))
+    ck.stage("mg_device",
+             mg_imgs_per_sec_device=round(device_ips, 3),
+             mg_vs_baseline=round(device_ips / REFERENCE_MG_BASELINE_IPS, 2))
 
     print("bench: multigraph e2e run...", file=sys.stderr, flush=True)
     out_dir = tempfile.mkdtemp(prefix="rig_bench_mg_")
@@ -470,8 +544,9 @@ def _run_multigraph(ck: _Checkpointer, n_batches: int = 3, B: int = 8,
         n = run_batches("t", 1000)
         e2e_ips = n / (time.time() - t0)
         bpi = (gen.transfer_bytes - b0) / n
-        ck.update(mg_e2e_imgs_per_sec=round(e2e_ips, 3),
-                  mg_bytes_per_img=round(bpi))
+        ck.stage("mg_e2e",
+                 mg_e2e_imgs_per_sec=round(e2e_ips, 3),
+                 mg_bytes_per_img=round(bpi))
     finally:
         gen.close()
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -542,9 +617,10 @@ def _run_combined_baseline(ck: _Checkpointer, n_rpm: int | None = None,
         kept_rpm = sum(1 for m in metas
                        if not m.get("duplicate") and not m.get("error"))
         kept_mg = sum(1 for r in recs if not getattr(r, "duplicate", False))
-        ck.update(dataset_wall_s=round(wall, 2),
-                  dataset_kept=kept_rpm + kept_mg,
-                  dataset_n=n_rpm + n_mg)
+        ck.stage("combined_dataset",
+                 dataset_wall_s=round(wall, 2),
+                 dataset_kept=kept_rpm + kept_mg,
+                 dataset_n=n_rpm + n_mg)
         rgen.close()
         mgen.close()
     finally:
@@ -556,12 +632,14 @@ def child_main() -> int:
     from reasoning_image_generation_tpu.cli import enable_compilation_cache
     enable_compilation_cache()
 
+    state = {"out_dir": tempfile.mkdtemp(prefix="rig_bench_")}
+
     # the remote-compile service in this environment occasionally drops
-    # connections; retry the RPM section once rather than report nothing
-    skipped = []
+    # connections; retry the headline section once rather than report
+    # nothing
     for attempt in range(2):
         try:
-            skipped = _run_rpm(ck)
+            _run_rpm_headline(ck, state)
             break
         except Exception as e:  # pragma: no cover
             import traceback
@@ -571,26 +649,38 @@ def child_main() -> int:
             ck.update(rpm_error=str(e)[:300])
             time.sleep(10)
 
-    try:
-        _run_multigraph(ck)
-    except Exception as e:  # pragma: no cover
-        print(f"bench: multigraph failed: {e}", file=sys.stderr, flush=True)
-        ck.update(mg_imgs_per_sec_device=0.0, mg_e2e_imgs_per_sec=0.0,
-                  mg_bytes_per_img=0, mg_vs_baseline=0.0)
+    if not ck.over_budget("multigraph"):
+        try:
+            _run_multigraph(ck)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: multigraph failed: {e}", file=sys.stderr,
+                  flush=True)
+            ck.update(mg_imgs_per_sec_device=0.0, mg_e2e_imgs_per_sec=0.0,
+                      mg_bytes_per_img=0, mg_vs_baseline=0.0)
+
+    if not ck.over_budget("combined_dataset"):
+        try:
+            _run_combined_baseline(ck)
+        except Exception as e:  # pragma: no cover
+            import traceback
+            traceback.print_exc()
+            print(f"bench: combined baseline failed: {e}", file=sys.stderr,
+                  flush=True)
+            ck.update(skipped_stages=list(ck.out.get("skipped_stages", []))
+                      + ["combined_dataset(error)"])
 
     try:
-        _run_combined_baseline(ck)
+        _run_rpm_full_export(ck, state)
     except Exception as e:  # pragma: no cover
         import traceback
         traceback.print_exc()
-        print(f"bench: combined baseline failed: {e}", file=sys.stderr,
-              flush=True)
-        skipped = list(skipped or []) + ["combined_dataset(error)"]
-        ck.update(skipped_stages=skipped)
+        print(f"bench: full-export failed: {e}", file=sys.stderr, flush=True)
+        ck.update(skipped_stages=list(ck.out.get("skipped_stages", []))
+                  + ["e2e_full(error)"])
 
+    shutil.rmtree(state["out_dir"], ignore_errors=True)
     ck.update(complete=True)
-    out = dict(ck.out)
-    out.pop("complete", None)
+    out = {k: v for k, v in ck.out.items() if k != "complete"}
     print(json.dumps(out), flush=True)
     return 0
 
