@@ -47,6 +47,18 @@ RAW_KEYS = ("state_imgs", "option_imgs", "grid_img", "grid_phash",
 # 7 = rle3, 9 = rle4 u8-length, 11 = rle5 length-1 bitmask)
 _COMPACT_CODECS = ("rle3", "rle3d", "rle4", "rle4d", "rle5", "rle5d")
 
+# self-healing transfer tiers: a stream whose frames overflow its frozen
+# tier for this many CONSECUTIVE batches gets its tier re-frozen mid-run
+# at the observed demand (one extra compiled coalesce shape) instead of
+# paying ~786 KB raw-frame fetches for the rest of the run — the round-3
+# cascade (2.06 MB/sample) this guards against
+TIER_REFREEZE_AFTER = 2
+
+# overflow_reasons() stream names -> packed-output keys (for mapping the
+# per-stream attribution back onto tier-stat namespaces)
+_STREAM_PKEY = {"grid": "grid_img_packed", "state": "state_imgs_packed",
+                "opt": "option_imgs_packed"}
+
 # single-blob transfer helpers shared with the multigraph generator —
 # see io/transfer.py for the per-transfer-cost rationale
 from ...io.transfer import (coalesce as _coalesce, blob_specs as _blob_specs,
@@ -183,6 +195,14 @@ class RPMGeneratorTPU:
         # and fell back to a raw 786 KB fetch — the early-warning signal
         # for an undersized transfer tier
         self.overflow_frames: int = 0
+        # self-healing tiers: a stream that overflows TIER_REFREEZE_AFTER
+        # consecutive batches gets its tier re-frozen mid-run at the
+        # observed demand (one extra compiled coalesce shape) instead of
+        # paying raw-frame fallbacks for the rest of the run
+        self.tiers_refrozen: int = 0
+        self._overflow_streak: Dict[str, int] = {}
+        self._batch_ordinal: int = 0
+        self.overflow_events: list = []  # (batch_ordinal, {stream: frames})
         self.mesh = self._maybe_make_mesh()
 
     def _maybe_make_mesh(self):
@@ -619,12 +639,14 @@ class RPMGeneratorTPU:
                 sizes += [(-1, tier), (-1, tier), None]
         return tuple(sizes)
 
-    def _update_run_stats(self, leaf: str, out) -> None:
+    def _update_run_stats(self, leaf: str, out, pipe: LeafPipeline) -> None:
         from ...ops.rle import PAL_K
         for key in ("state_imgs_packed", "option_imgs_packed",
                     "grid_img_packed"):
             if key not in out:
                 continue
+            cap = (pipe.grid_budget if key == "grid_img_packed"
+                   else pipe.frame_budget)
             val = out[key]
             if len(val) in (7, 9, 11):  # per-frame AVERAGE totals
                 v5 = len(val) == 11          # (see _shrink_sizes)
@@ -640,8 +662,12 @@ class RPMGeneratorTPU:
                 if v4 or v5:
                     stats.append(("X", int(np.asarray(val[base + 3]).sum())))
                 if v5:
-                    # bitmask bytes quantize per frame: ceil(c/8)
-                    stats.append(("B", int(((cnt + 7) // 8).sum())))
+                    # bitmask bytes quantize per frame: ceil(c/8), with c
+                    # CLAMPED to the frame run budget — the device ships
+                    # ceil(min(cnt,cap)/8) bytes, so overflow-heavy frames
+                    # must not inflate the B tier past what ever travels
+                    stats.append(("B", int((
+                        (np.minimum(cnt, cap) + 7) // 8).sum())))
                     stats.append(("S", int(np.asarray(val[10]).sum())))
                 for suf, tot in stats:
                     k = f"{leaf}:{key}:{suf}"
@@ -652,8 +678,58 @@ class RPMGeneratorTPU:
                 k = f"{leaf}:{key}"
                 self._run_stats[k] = max(self._run_stats.get(k, 0), c)
 
+    def _note_overflow(self, leaf: str, why: dict) -> None:
+        """Self-healing transfer tiers.  `why` is the per-stream overflow
+        attribution ({'grid'/'state'/'opt': {'T'/'E'/'P'/'X'/'B'/'S': n}}).
+        A stream that overflows TIER_REFREEZE_AFTER consecutive batches has
+        its tier re-frozen mid-run at the observed demand — with geometric
+        escalation (1.5x the old frozen stat) so a bursty stream whose
+        max-seen AVERAGE is stable still converges to a big-enough tier (or
+        to travel-whole) in a few batches instead of paying raw-frame
+        fallbacks for the rest of the run."""
+        hit = set()
+        for name, reasons in why.items():
+            pkey = _STREAM_PKEY[name]
+            for suf, n in reasons.items():
+                if n <= 0:
+                    continue
+                skey = f"{leaf}:{pkey}:{suf}"
+                hit.add(skey)
+                streak = self._overflow_streak.get(skey, 0) + 1
+                self._overflow_streak[skey] = streak
+                if streak < TIER_REFREEZE_AFTER:
+                    continue
+                old = self._tier_stats.get(skey)
+                if old is None:
+                    # tier was already travel-whole: the DEVICE budget
+                    # overflowed, which no transfer tier can fix
+                    continue
+                demand = self._run_stats.get(skey, 0.0)
+                new = max(demand, old * 1.5)
+                self._tier_stats[skey] = new
+                # remember the pathology across runs too (freeze at
+                # generate_ids entry copies _run_stats)
+                self._run_stats[skey] = max(self._run_stats.get(skey, 0.0),
+                                            new)
+                self._overflow_streak[skey] = 0
+                self.tiers_refrozen += 1
+                logger.info("tier_refrozen %s: %.1f -> %.1f avg/frame "
+                            "(batch %d)", skey, old, new,
+                            self._batch_ordinal)
+        # a clean batch for a stream breaks its streak (overflow must be
+        # CONSECUTIVE to trigger a re-freeze)
+        for k in list(self._overflow_streak):
+            if k.startswith(f"{leaf}:") and k not in hit:
+                self._overflow_streak[k] = 0
+
+    def _clear_overflow_streaks(self, leaf: str) -> None:
+        for k in list(self._overflow_streak):
+            if k.startswith(f"{leaf}:"):
+                self._overflow_streak[k] = 0
+
     def _export_batch(self, leaf: str, pipe: LeafPipeline, chunk, out, metas):
         import jax
+        self._batch_ordinal += 1
         if isinstance(out, tuple):
             # coalesced form from generate_ids: ONE host transfer for the
             # blob, then reconstruct the output tree.  Image tensors stay
@@ -672,7 +748,7 @@ class RPMGeneratorTPU:
                    for k, v in full.items()}
             out.update(raw)
             out["_n_real"] = n_real
-        self._update_run_stats(leaf, out)
+        self._update_run_stats(leaf, out, pipe)
         L = pipe.L
         O = self.cfg.num_options
         layout = pipe.layout
@@ -723,12 +799,15 @@ class RPMGeneratorTPU:
                                         ("state", s_fr, n_real * L),
                                         ("opt", o_fr, n_real * O))
                        if fr is not None}
-                logger.info("overflow fallback %s: %s",
-                            {n: len(m) for n, m in (("grid", over_grid),
-                                                    ("state", over_state),
-                                                    ("opt", over_opt))
-                             if m},
+                counts = {n: len(m) for n, m in (("grid", over_grid),
+                                                 ("state", over_state),
+                                                 ("opt", over_opt)) if m}
+                logger.info("overflow fallback %s: %s", counts,
                             {n: w for n, w in why.items() if w})
+                self.overflow_events.append((self._batch_ordinal, counts))
+                self._note_overflow(leaf, why)
+            else:
+                self._clear_overflow_streaks(leaf)
         elif direct:
             from ...io.transfer import overflow_pixels
             over_grid = overflow_pixels(

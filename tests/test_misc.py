@@ -61,3 +61,43 @@ def test_png_grayscale_input(tmp_path):
     p2 = str(tmp_path / "g2.png")
     open(p2, "wb").write(raw)
     assert (cv2.imread(p2)[..., 0] == gray).all()
+
+
+def test_tier_refreeze_self_heals(tmp_path):
+    """Self-healing transfer tiers (round-4 VERDICT item 6): a stream whose
+    frozen tier pathologically undershoots (poisoned-low run stats here)
+    overflows to raw-frame fallbacks for at most TIER_REFREEZE_AFTER
+    batches (+1 batch of software-pipeline lag), then re-freezes at the
+    observed demand and recovers to packed transfers for the rest of the
+    run instead of paying ~raw fetches per frame forever."""
+    from reasoning_image_generation_tpu.models.rpm.generator import (
+        RPMGeneratorTPU, TIER_REFREEZE_AFTER)
+    from reasoning_image_generation_tpu.utils.config import RULE_LEAVES
+    w = {l: 0.0 for l in RULE_LEAVES}
+    w["平移"] = 1.0
+    cfg = GenConfig(out_dir=str(tmp_path), seed=3, batch_size=4,
+                    canvas_size=(64, 64), max_elems=4, category_weights=w,
+                    sparse_transfer=True)
+    gen = RPMGeneratorTPU(cfg)
+    # one clean run so the true per-frame run demand is in _run_stats
+    gen.generate_ids(list(range(4)))
+    keys = [k for k in gen._run_stats if ":state_imgs_packed:T" in k]
+    assert keys, "expected state-stream run stats after a warm batch"
+    # poison: pretend run demand is near-zero, so the tier frozen at the
+    # next generate_ids entry undershoots and every state frame overflows
+    for k in keys:
+        gen._run_stats[k] = 0.1
+    n_batches = 2 * TIER_REFREEZE_AFTER + 4
+    metas = gen.generate_ids(
+        list(range(100, 100 + n_batches * cfg.batch_size)))
+    gen.close()
+    assert all(not m.get("error") for m in metas)
+    assert gen.overflow_events, "poisoned tier must overflow first"
+    assert gen.tiers_refrozen >= 1, "tier must re-freeze mid-run"
+    # the final 2 batches must be clean (refreeze fires after
+    # TIER_REFREEZE_AFTER consecutive overflows; +1 batch already in
+    # flight when it fires)
+    late = [o for o, _ in gen.overflow_events if o > gen._batch_ordinal - 2]
+    assert not late, f"overflow persisted to the end: {gen.overflow_events}"
+    # the healed tier is remembered for the NEXT run's freeze too
+    assert all(gen._run_stats[k] > 1 for k in keys)
