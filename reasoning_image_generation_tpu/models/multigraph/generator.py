@@ -281,7 +281,10 @@ class GeometryGeneratorTPU:
         if frames.xc is not None:
             stats.append(("X", int(frames.xc.sum())))
         if frames.BM is not None:  # v5: bitmask bytes + != 1 lengths
-            stats.append(("B", int(((frames.cnt + 7) // 8).sum())))
+            # clamp to the run budget: the device ships ceil(min(cnt,cap)/8)
+            # bitmask bytes, so overflow frames must not inflate the B tier
+            stats.append(("B", int((
+                (np.minimum(frames.cnt, st["budget"]) + 7) // 8).sum())))
             stats.append(("S", int(frames.sc.sum())))
         for suf, tot in stats:
             k = f"{skey}:{suf}"

@@ -53,10 +53,12 @@ def main(grid_only: bool = True) -> None:
         if codec.startswith(("rle3", "rle4", "rle5")):
             # mirror generator.generate_ids' device compaction exactly
             from reasoning_image_generation_tpu.ops import rle as _r
-            c_plain = {"rle3": _r.compact_rle3, "rle4": _r.compact_rle4,
-                       "rle5": _r.compact_rle5}[codec.rstrip("d")]
-            c_delta = {"rle3": _r.compact_rle3d, "rle4": _r.compact_rle4d,
-                       "rle5": _r.compact_rle5d}[codec.rstrip("d")]
+            # same lookup the generator uses (models/rpm/generator.py,
+            # _COMPACT_CODECS path) so the tool accepts exactly the codec
+            # set the generator does
+            base = codec.rstrip("d")
+            c_plain = getattr(_r, f"compact_{base}")
+            c_delta = getattr(_r, f"compact_{base}d")
             for key in list(transfer):
                 if key.endswith("_packed"):
                     val = transfer[key]
