@@ -134,3 +134,76 @@ def test_overlay_full_grid_rerendered_by_reference_matches(overlay_sample):
     assert n2 >= len([e for e in m["sequence"][1]["elements"] if e])
     s = _grid_vs_reference(m, out, _use_grid_for(5, m["id"]))
     assert s > 0.99, f"grid ssim={s:.4f}"
+
+
+def _leaf_sample(tmp_path_factory, leaf: str, seed: int):
+    """Module fixture body: 2 samples with the given rule leaf pinned."""
+    from reasoning_image_generation_tpu.utils.config import (
+        GenConfig, RULE_LEAVES)
+    from reasoning_image_generation_tpu.models.rpm.generator import (
+        RPMGeneratorTPU)
+    out = str(tmp_path_factory.mktemp(f"e2e_{seed}"))
+    weights = {k: 0.0 for k in RULE_LEAVES}
+    weights[leaf] = 1.0
+    cfg = GenConfig(out_dir=out, seed=seed, batch_size=2,
+                    category_weights=weights)
+    gen = RPMGeneratorTPU(cfg)
+    metas = gen.generate(2)
+    gen.close()
+    return metas, out, seed
+
+
+@pytest.fixture(scope="module")
+def combo_sample(tmp_path_factory):
+    """组合 (transform_many): 1-3 elements each under its own repeated op
+    (reference src/rules.py:444-707) — the most layout-coupled metadata of
+    the position-transform family (VERDICT r4 item 5)."""
+    return _leaf_sample(tmp_path_factory, "组合", seed=13)
+
+
+@pytest.fixture(scope="module")
+def postrav_sample(tmp_path_factory):
+    """位置遍历 (position traversal): two elements stepping through a
+    position sequence (reference src/rules.py:886-1018), whose bbox
+    bookkeeping is the quirkiest of the traversal family."""
+    return _leaf_sample(tmp_path_factory, "位置遍历", seed=17)
+
+
+def test_combo_states_rerendered_by_reference_match(combo_sample):
+    import cv2
+    metas, out, seed = combo_sample
+    m = metas[0]
+    ug = _use_grid_for(seed, m["id"])
+    for t, seq in enumerate(m["sequence"]):
+        ours = cv2.imread(seq["state_path"])[..., ::-1]
+        ref = render_reference(seq["elements"], use_grid=bool(ug))
+        s = ssim(ours, ref)
+        assert s > 0.99, f"state {t}: ssim={s:.4f}"
+
+
+def test_combo_full_grid_rerendered_by_reference_matches(combo_sample):
+    metas, out, seed = combo_sample
+    m = metas[0]
+    s = _grid_vs_reference(m, out, _use_grid_for(seed, m["id"]))
+    assert s > 0.99, f"grid ssim={s:.4f}"
+
+
+def test_postrav_states_rerendered_by_reference_match(postrav_sample):
+    import cv2
+    metas, out, seed = postrav_sample
+    m = metas[0]
+    # position traversal always drives two elements (proto_n_for)
+    assert len([e for e in m["sequence"][0]["elements"] if e]) == 2
+    ug = _use_grid_for(seed, m["id"])
+    for t, seq in enumerate(m["sequence"]):
+        ours = cv2.imread(seq["state_path"])[..., ::-1]
+        ref = render_reference(seq["elements"], use_grid=bool(ug))
+        s = ssim(ours, ref)
+        assert s > 0.99, f"state {t}: ssim={s:.4f}"
+
+
+def test_postrav_full_grid_rerendered_by_reference_matches(postrav_sample):
+    metas, out, seed = postrav_sample
+    m = metas[0]
+    s = _grid_vs_reference(m, out, _use_grid_for(seed, m["id"]))
+    assert s > 0.99, f"grid ssim={s:.4f}"
