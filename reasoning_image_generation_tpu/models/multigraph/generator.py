@@ -192,6 +192,28 @@ class GeometryGeneratorTPU:
                 spans_all_devices=on_mesh and spans_all) or call)
         return self._aot[tag](batch)
 
+    def _pack_budget(self, H: int, W: int) -> int:
+        """Device run-buffer budget for the pack path (NOT the transfer
+        tier).  default_budget (H*W/24) is sized for dense RPM frames; mg
+        outline scenes produce 7-15k runs at 1600^2 while the palettize
+        sort/top_k/scatter work scales with the BUFFER, not the content
+        (measured: ~3.4 s device time per 50-frame batch at the 106k
+        default vs the run content needing <1/7 of that buffer).  Sizes
+        from the persisted max-single-frame run count ('M' stat,
+        _render_finish) with 2x headroom, quantized to powers of two so
+        at most a handful of program shapes ever compile; a frame that
+        still overflows falls back to one gathered raw fetch, so an
+        optimistic budget costs transfer bytes, never correctness."""
+        from ...ops.rle import default_budget
+        cap = default_budget(H, W)
+        v5 = getattr(self, "transfer_codec", "rle4") == "rle5"
+        st = self._run_stats.get(f"mg{'5' if v5 else '4'}:{H}x{W}:M")
+        if not st:
+            return cap
+        want = int(st) * 2 + 1024
+        b = 1 << (want - 1).bit_length()
+        return min(max(b, 4096), cap)
+
     def _render_dispatch(self, imgs, extra=None) -> Dict:
         """RLE-pack + blob coalesce on device and start the device->host
         copy; returns a pending-state dict for `_render_finish`.  Nothing
@@ -211,10 +233,9 @@ class GeometryGeneratorTPU:
         # frames that still overflow fall back to one gathered raw fetch.
         from ...io.transfer import (coalesce_flat, coalesce_flat_shrunk,
                                     blob_specs, shrunk_specs, transfer_tier)
-        from ...ops.rle import (pack_batch_rle4, pack_batch_rle5,
-                                default_budget)
+        from ...ops.rle import pack_batch_rle4, pack_batch_rle5
         H, W = int(imgs.shape[-3]), int(imgs.shape[-2])
-        budget = default_budget(H, W)
+        budget = self._pack_budget(H, W)
         v5 = getattr(self, "transfer_codec", "rle4") == "rle5"
         packed = (pack_batch_rle5 if v5 else pack_batch_rle4)(imgs, budget)
         tree = packed if extra is None else (packed, extra)
@@ -289,6 +310,12 @@ class GeometryGeneratorTPU:
         for suf, tot in stats:
             k = f"{skey}:{suf}"
             self._run_stats[k] = max(self._run_stats.get(k, 0.0), tot / F)
+        # max SINGLE-frame run count (not an average): drives the pack
+        # compute budget (_pack_budget), true even when this batch's
+        # buffer truncated (cnt always carries the pre-cap count)
+        mk = f"{skey}:M"
+        self._run_stats[mk] = max(self._run_stats.get(mk, 0),
+                                  int(frames.cnt.max()))
         over = gather_frames(st["imgs"], frames.overflow_indices(F))
         if over:
             self.transfer_bytes += sum(a.nbytes for a in over.values())

@@ -345,3 +345,29 @@ def test_generator_rle5_matches_rle4(tmp_path):
         a, b = cv2.imread(p4), cv2.imread(p5)
         assert a is not None and b is not None
         np.testing.assert_array_equal(a, b, err_msg=p4)
+
+
+def test_pack_budget_stats_driven(tmp_path, monkeypatch):
+    """The device pack budget right-sizes from the persisted max
+    single-frame run count ('M' stat): palettize sort/top_k/scatter cost
+    scales with the buffer, not the content, and mg outline scenes need
+    ~1/7 of the dense-frame default at 1600^2 (measured ~3.4 s -> well
+    under 1 s device time per 50-frame batch)."""
+    from reasoning_image_generation_tpu.utils import cache
+    monkeypatch.setattr(cache, "cache_dir", lambda: str(tmp_path))
+    from reasoning_image_generation_tpu.models.multigraph.generator import (
+        GeometryGeneratorTPU)
+    from reasoning_image_generation_tpu.ops.rle import default_budget
+    g = GeometryGeneratorTPU(renderer="jnp")
+    cap = default_budget(1600, 1600)
+    # cold: no stat -> the conservative dense-frame default
+    assert g._pack_budget(1600, 1600) == cap
+    # warm: 2x headroom over the observed max, power-of-2 quantized
+    g._run_stats["mg4:1600x1600:M"] = 14460
+    assert g._pack_budget(1600, 1600) == 32768
+    # monotone in the stat; never exceeds the dense default
+    g._run_stats["mg4:1600x1600:M"] = 10 * cap
+    assert g._pack_budget(1600, 1600) == cap
+    # tiny canvases: the default is already below the 4096 floor
+    assert g._pack_budget(64, 64) == default_budget(64, 64)
+    g.close()
