@@ -99,26 +99,42 @@ def state_to_dicts(state: ElementState, kinds=None) -> list:
     from .config import SHAPE_KINDS
     kinds = kinds or SHAPE_KINDS
     arr = {f: np.asarray(getattr(state, f)) for f in state._fields}
-    out = []
-    for i in range(arr["valid"].shape[-1]):
-        if not arr["valid"][i]:
-            continue
-        out.append({
-            "kind": kinds[int(arr["kind"][i])],
-            "size": int(round(float(arr["size"][i]))),
-            "fill": bool(arr["fill"][i]),
-            "stroke_width": int(round(float(arr["stroke"][i]))),
-            "center": (int(round(float(arr["cx"][i]))),
-                       int(round(float(arr["cy"][i])))),
-            "angle": float(arr["angle"][i]),
-            "bbox": tuple(int(round(v)) for v in arr["bbox"][i]),
-            "flip": {"h": bool(arr["flip_h"][i]), "v": bool(arr["flip_v"][i])},
-            # the reference's color tuple round-trips to the saved file's RGB
-            # (BGR canvas + _to_bgr_tuple + BGR imwrite cancel out), so we
-            # store it verbatim.
-            "color": tuple(int(round(c)) for c in arr["color"][i]),
-        })
-    return out
+    idx = np.nonzero(arr["valid"])[0]
+    if idx.size == 0:
+        return []
+
+    # vectorized conversion: this runs ~9x per sample on the export path
+    # (every frame of every sample's meta), and per-scalar
+    # int(round(float(...))) was ~1 s/1k samples of the grid-only window.
+    # np.rint in float64 == Python round() (both half-to-even on the same
+    # float64 values); .tolist() converts to native types in C.
+    def ri(a):
+        return np.rint(a[idx].astype(np.float64)).astype(np.int64).tolist()
+
+    kind = arr["kind"][idx].tolist()
+    size, stroke = ri(arr["size"]), ri(arr["stroke"])
+    cx, cy = ri(arr["cx"]), ri(arr["cy"])
+    angle = arr["angle"][idx].astype(np.float64).tolist()
+    bbox = ri(arr["bbox"])
+    fill = arr["fill"][idx].tolist()
+    fh = arr["flip_h"][idx].tolist()
+    fv = arr["flip_v"][idx].tolist()
+    # the reference's color tuple round-trips to the saved file's RGB
+    # (BGR canvas + _to_bgr_tuple + BGR imwrite cancel out), so we
+    # store it verbatim.
+    color = ri(arr["color"])
+    return [{
+        "kind": kinds[k],
+        "size": s,
+        "fill": f,
+        "stroke_width": sw,
+        "center": (x, y),
+        "angle": a,
+        "bbox": tuple(bb),
+        "flip": {"h": h, "v": v},
+        "color": tuple(c),
+    } for k, s, f, sw, x, y, a, bb, h, v, c in zip(
+        kind, size, fill, stroke, cx, cy, angle, bbox, fh, fv, color)]
 
 
 def dicts_to_state(elements: list, max_elems: int) -> ElementState:
