@@ -18,10 +18,11 @@ numbers):
   3. e2e grid-only export (the composed puzzle is the training artifact)
   4. the literal BASELINE scenario: ~1k samples, dedup on, all 9 rule
      leaves weighted (reference README.md:8 — the <10 s / 1k target)
-  5. multigraph device + e2e rates
-  6. combined-dataset BASELINE: 1k RPM (dedup) + 100 multigraph images
+  5. combined-dataset BASELINE: 1k RPM (dedup) + 100 multigraph images
      (dedup) in one timed window — the reference's full ~1k-sample
-     dataset claim spans both pipelines
+     dataset claim spans both pipelines (the <10 s target; runs before
+     the mg rate stages so a short driver window can't cut it)
+  6. multigraph device + e2e rates
   7. e2e full export (state/option/grid PNGs + meta/coco JSON)
   8. the BASELINE scenario, full-export variant
 
@@ -649,15 +650,9 @@ def child_main() -> int:
             ck.update(rpm_error=str(e)[:300])
             time.sleep(10)
 
-    if not ck.over_budget("multigraph"):
-        try:
-            _run_multigraph(ck)
-        except Exception as e:  # pragma: no cover
-            print(f"bench: multigraph failed: {e}", file=sys.stderr,
-                  flush=True)
-            ck.update(mg_imgs_per_sec_device=0.0, mg_e2e_imgs_per_sec=0.0,
-                      mg_bytes_per_img=0, mg_vs_baseline=0.0)
-
+    # combined-dataset BASELINE runs BEFORE the mg rate stages: it carries
+    # the <10 s full-dataset target (the single most important number) and
+    # must land even if the driver window cuts the run short
     if not ck.over_budget("combined_dataset"):
         try:
             _run_combined_baseline(ck)
@@ -668,6 +663,15 @@ def child_main() -> int:
                   flush=True)
             ck.update(skipped_stages=list(ck.out.get("skipped_stages", []))
                       + ["combined_dataset(error)"])
+
+    if not ck.over_budget("multigraph"):
+        try:
+            _run_multigraph(ck)
+        except Exception as e:  # pragma: no cover
+            print(f"bench: multigraph failed: {e}", file=sys.stderr,
+                  flush=True)
+            ck.update(mg_imgs_per_sec_device=0.0, mg_e2e_imgs_per_sec=0.0,
+                      mg_bytes_per_img=0, mg_vs_baseline=0.0)
 
     try:
         _run_rpm_full_export(ck, state)
