@@ -63,13 +63,19 @@ def test_png_grayscale_input(tmp_path):
     assert (cv2.imread(p2)[..., 0] == gray).all()
 
 
-def test_tier_refreeze_self_heals(tmp_path):
+def test_tier_refreeze_self_heals(tmp_path, monkeypatch):
     """Self-healing transfer tiers (round-4 VERDICT item 6): a stream whose
     frozen tier pathologically undershoots (poisoned-low run stats here)
     overflows to raw-frame fallbacks for at most TIER_REFREEZE_AFTER
     batches (+1 batch of software-pipeline lag), then re-freezes at the
     observed demand and recovers to packed transfers for the rest of the
     run instead of paying ~raw fetches per frame forever."""
+    # isolated stats store: the REAL persisted store carries stats for
+    # leaves other runs generated; this run only generates 平移, so a
+    # poisoned stat for any other leaf could never heal (and the key scan
+    # below would pick those leaves up)
+    from reasoning_image_generation_tpu.utils import cache
+    monkeypatch.setattr(cache, "cache_dir", lambda: str(tmp_path))
     from reasoning_image_generation_tpu.models.rpm.generator import (
         RPMGeneratorTPU, TIER_REFREEZE_AFTER)
     from reasoning_image_generation_tpu.utils.config import RULE_LEAVES
