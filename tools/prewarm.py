@@ -27,7 +27,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def prewarm_rpm(batch_size: int, canvas, grid_only: bool) -> None:
+def prewarm_rpm(batch_size: int, canvas, grid_only: bool,
+                sparse_transfer: bool = False) -> None:
     from reasoning_image_generation_tpu.models.rpm.generator import (
         RPMGeneratorTPU)
     from reasoning_image_generation_tpu.utils.config import (
@@ -37,6 +38,7 @@ def prewarm_rpm(batch_size: int, canvas, grid_only: bool) -> None:
     try:
         cfg = GenConfig(out_dir=out, canvas_size=canvas, seed=0,
                         batch_size=batch_size,
+                        sparse_transfer=sparse_transfer,
                         # every leaf compiles: uniform weights
                         category_weights={l: 1.0 for l in RULE_LEAVES})
         cfg.grid_only = grid_only
@@ -45,7 +47,9 @@ def prewarm_rpm(batch_size: int, canvas, grid_only: bool) -> None:
         ids = list(range(batch_size * 12))
         t0 = time.time()
         gen.warmup(ids)
-        print(f"rpm leaf pipelines ({'grid_only' if grid_only else 'full'}): "
+        tag = ("grid_only" if grid_only else "full") + \
+            ("+sparse" if sparse_transfer else "")
+        print(f"rpm leaf pipelines ({tag}): "
               f"{time.time() - t0:.1f}s", flush=True)
         # real path: transfer pack/coalesce + corpus dedup + export programs
         t0 = time.time()
@@ -57,23 +61,26 @@ def prewarm_rpm(batch_size: int, canvas, grid_only: bool) -> None:
         shutil.rmtree(out, ignore_errors=True)
 
 
-def prewarm_mg(dpi: int, batch_size: int) -> None:
+def prewarm_mg(dpi: int, batch_size: int, dedup: bool = False) -> None:
     from reasoning_image_generation_tpu.models.multigraph.generator import (
         GeometryGeneratorTPU)
 
     out = tempfile.mkdtemp(prefix="rig_prewarm_mg_")
     try:
         gen = GeometryGeneratorTPU()
+        n = batch_size * 2
+        modes = [["adjacent", "nested", "intersecting", "random"][i % 4]
+                 for i in range(n)]
         t0 = time.time()
         gen.generate_batches(
-            seeds=list(range(batch_size * 2)),
-            modes=["adjacent"] * (batch_size * 2),
-            save_paths=[os.path.join(out, f"{i}.png")
-                        for i in range(batch_size * 2)],
-            dpi=dpi, batch_size=batch_size)
+            seeds=list(range(n)),
+            modes=modes,
+            save_paths=[os.path.join(out, f"{i}_{m}.png")
+                        for i, m in enumerate(modes)],
+            dpi=dpi, batch_size=batch_size, dedup=dedup)
         gen.close()
-        print(f"mg renderer + transfer programs: {time.time() - t0:.1f}s",
-              flush=True)
+        print(f"mg renderer + transfer programs (B={batch_size}, "
+              f"dedup={dedup}): {time.time() - t0:.1f}s", flush=True)
     finally:
         shutil.rmtree(out, ignore_errors=True)
 
@@ -96,10 +103,20 @@ def main():
     W, H = (int(x) for x in args.canvas.split("x"))
     t0 = time.time()
     if not args.skip_rpm:
+        # the three production/bench configs: device-rate (dense),
+        # grid-only export (sparse codec), full export (sparse codec)
         prewarm_rpm(args.batch_size, (W, H), grid_only=False)
-        prewarm_rpm(args.batch_size, (W, H), grid_only=True)
+        prewarm_rpm(args.batch_size, (W, H), grid_only=True,
+                    sparse_transfer=True)
+        prewarm_rpm(args.batch_size, (W, H), grid_only=False,
+                    sparse_transfer=True)
     if not args.skip_mg:
-        prewarm_mg(args.dpi, args.mg_batch_size)
+        # CLI default batch plus the bench's rate (8) / combined-dataset
+        # (50) batch shapes, with the corpus-dedup program
+        prewarm_mg(args.dpi, args.mg_batch_size, dedup=True)
+        for b in (8, 50):
+            if b != args.mg_batch_size:
+                prewarm_mg(args.dpi, b, dedup=True)
     n = sum(len(files) for _, _, files in os.walk(cache_dir()))
     print(f"done in {time.time() - t0:.1f}s; cache now holds {n} entries",
           flush=True)
